@@ -1,0 +1,339 @@
+"""TPU-native motion matching engine.
+
+The reference's CodeKNN re-executes a full database scan in Python for every
+4-code step of every window (search_audio_cands, GestureKNN.py:666-691 — the
+~5 min / 24 s clip bottleneck, README.md:35). This engine restructures the
+search so the database is resident in HBM and the entire clip is matched by
+one device program:
+
+  phase 1 (parallel): distances from *all* (window, step) queries to *all*
+    (sequence, block) database positions — one MXU matmul for cosine modes,
+    a batched wavefront DP for Levenshtein mode — followed by a per-code
+    segment-min (the 512-slot candidate tables).
+  phase 2 (sequential): a lax.scan over steps carrying (prev_code,
+    prev_phase): signature/frequency rank fusion, top-k selection, phase
+    re-ranking, seed chaining across windows.
+
+Semantics are bit-matched to match/oracle.py (the NumPy spec), which in turn
+documents its deviations from the reference (stable ranks on ties).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import constants as C
+from ..core.config import MatchConfig
+from ..ops.levenshtein import levenshtein_matrix
+from ..ops.ranking import rank_jnp
+from .database import MatchDatabase
+from .oracle import OracleResult
+
+
+def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Row-normalize, leaving zero rows at zero (sklearn normalize semantics,
+    so cosine distance to a zero vector is 1)."""
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.where(n > 0, n, 1.0)
+
+
+def cosine_distance_matrix(q: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """(Q, D) x (N, D) -> (Q, N) cosine distances via one MXU matmul."""
+    qn = _l2_normalize(q)
+    dn = _l2_normalize(d)
+    sim = jnp.dot(qn, dn.T, preferred_element_type=jnp.float32)
+    return 1.0 - sim
+
+
+def segment_min_argmin(dist: jnp.ndarray, seg: jnp.ndarray, k: int,
+                       unmatched: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-code candidate reduction.
+
+    dist: (Q, N) distances; seg: (N,) code of each database position.
+    Returns (Q, k) min distance per code (``unmatched`` where a code never
+    occurs) and (Q, k) the *first* argmin position in scan order — the
+    reference's strict-< update order (GestureKNN.py:686-689).
+    """
+    N = dist.shape[1]
+    mins = jax.vmap(lambda row: jax.ops.segment_min(row, seg,
+                                                    num_segments=k))(dist)
+    hit = dist == mins[:, seg]
+    pos = jnp.where(hit, jnp.arange(N, dtype=jnp.int32)[None, :], N)
+    args = jax.vmap(lambda row: jax.ops.segment_min(row, seg,
+                                                    num_segments=k))(pos)
+    matched = jnp.isfinite(mins)
+    mins = jnp.where(matched, mins, unmatched)
+    args = jnp.where(args >= N, 0, args)
+    return mins, args, matched
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["aud_rank", "aud_block", "aud_seq", "aud_start",
+                      "txt_rank", "txt_block", "txt_seq", "txt_start"],
+         meta_fields=["n_steps"])
+@dataclass
+class DeviceTables:
+    """Per-(window*step) candidate tables staged on device."""
+    aud_rank: Optional[jnp.ndarray]    # (Q, 512) f32 rank of audio distance
+    aud_block: Optional[jnp.ndarray]   # (Q, 512, step_sz) i32
+    aud_seq: Optional[jnp.ndarray]     # (Q, 512) i32
+    aud_start: Optional[jnp.ndarray]   # (Q, 512) i32 phase window start
+    txt_rank: Optional[jnp.ndarray]
+    txt_block: Optional[jnp.ndarray]
+    txt_seq: Optional[jnp.ndarray]
+    txt_start: Optional[jnp.ndarray]
+    n_steps: int
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["sig_dist", "freq_rank", "phase", "amp"],
+         meta_fields=[])
+@dataclass
+class DeviceDatabase:
+    """Static per-database device state."""
+    sig_dist: jnp.ndarray              # (512, 512) f32, +inf diagonal
+    freq_rank: jnp.ndarray             # (512,) f32, pre-scaled rank * weight
+    phase: Optional[jnp.ndarray]       # (J, 240, 8)
+    amp: Optional[jnp.ndarray]         # (J, 240, 8)
+
+
+def _candidate_tables(cfg: MatchConfig, codes: jnp.ndarray,
+                      blocks: jnp.ndarray, frames: np.ndarray,
+                      dist: jnp.ndarray):
+    """Reduce a (Q, J*B) distance matrix to per-code tables."""
+    J, B = codes.shape
+    seg = codes.reshape(-1)
+    mins, args, matched = segment_min_argmin(
+        dist, seg, cfg.codebook_size, cfg.unmatched_dist)
+    blocks_flat = blocks.reshape(J * B, -1)
+    blk = blocks_flat[args]                                   # (Q, 512, step)
+    code_ids = jnp.arange(cfg.codebook_size, dtype=jnp.int32)
+    blk = jnp.where(matched[..., None], blk,
+                    jnp.broadcast_to(code_ids[None, :, None], blk.shape))
+    seq = (args // B).astype(jnp.int32)
+    start_tab = jnp.asarray(
+        (frames.astype(np.float64) / C.WAVVQ_FRAMES *
+         C.NUM_FRAMES).astype(np.int32))
+    start = start_tab[args % B]
+    rank = jax.vmap(rank_jnp)(mins).astype(jnp.float32)
+    return rank, blk, seq, start
+
+
+def build_device_tables(cfg: MatchConfig, db: MatchDatabase,
+                        test_audio: Optional[np.ndarray],
+                        test_context: Optional[np.ndarray]) -> DeviceTables:
+    """Phase 1: all queries vs all database positions, reduced per code."""
+    aud_rank = aud_block = aud_seq = aud_start = None
+    txt_rank = txt_block = txt_seq = txt_start = None
+    n_steps = 0
+
+    if cfg.use_aud:
+        W, S = test_audio.shape[:2]
+        n_steps = S
+        q = jnp.asarray(test_audio.reshape(W * S, *test_audio.shape[2:]))
+        if cfg.audio_mode == "wavvq_feat":
+            dbs = jnp.asarray(db.aud_strings)
+            dist = levenshtein_matrix(
+                q, dbs.reshape(-1, dbs.shape[-1])).astype(jnp.float32)
+        else:
+            dbf = jnp.asarray(db.aud_feat)
+            dist = cosine_distance_matrix(q, dbf.reshape(-1, dbf.shape[-1]))
+        aud_rank, aud_block, aud_seq, aud_start = _candidate_tables(
+            cfg, jnp.asarray(db.aud_codes), jnp.asarray(db.aud_blocks),
+            db.aud_frames, dist)
+
+    if cfg.use_txt:
+        W, S = test_context.shape[:2]
+        n_steps = S
+        q = jnp.asarray(test_context.reshape(W * S, -1))
+        dbf = jnp.asarray(db.txt_feat)
+        dist = cosine_distance_matrix(q, dbf.reshape(-1, dbf.shape[-1]))
+        txt_rank, txt_block, txt_seq, txt_start = _candidate_tables(
+            cfg, jnp.asarray(db.txt_codes), jnp.asarray(db.txt_blocks),
+            db.txt_frames, dist)
+
+    return DeviceTables(aud_rank=aud_rank, aud_block=aud_block,
+                        aud_seq=aud_seq, aud_start=aud_start,
+                        txt_rank=txt_rank, txt_block=txt_block,
+                        txt_seq=txt_seq, txt_start=txt_start,
+                        n_steps=n_steps)
+
+
+def _phase_head_tail(dev: DeviceDatabase, seq, start):
+    """Gather the 32-frame phase window at (seq, start) and form the (8, 16)
+    head (phase[:8] | amp[:8]) and tail (phase[-8:] | amp[-8:]) blocks
+    (GestureKNN.py:598-603)."""
+    ph = jax.lax.dynamic_slice(dev.phase[seq], (start, 0), (32, 8))
+    am = jax.lax.dynamic_slice(dev.amp[seq], (start, 0), (32, 8))
+    head = jnp.concatenate((ph[:8], am[:8]), axis=1)
+    tail = jnp.concatenate((ph[24:], am[24:]), axis=1)
+    return head, tail
+
+
+def _phase_continuity(prev, head):
+    """cos_dist(concat(prev[-5:], head[:3]), concat(prev[-3:], head[:5]))."""
+    a = jnp.concatenate((prev[3:], head[:3]), axis=0).reshape(-1)
+    b = jnp.concatenate((prev[5:], head[:5]), axis=0).reshape(-1)
+    na = jnp.linalg.norm(a)
+    nb = jnp.linalg.norm(b)
+    na = jnp.where(na > 0, na, 1.0)
+    nb = jnp.where(nb > 0, nb, 1.0)
+    return 1.0 - jnp.dot(a / na, b / nb)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
+               tables: DeviceTables, init_code: jnp.ndarray,
+               init_phase: Optional[jnp.ndarray],
+               rand_bits: Optional[jnp.ndarray]):
+    """Phase 2: sequential rank fusion + phase re-rank + seed chain."""
+    Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
+    last_step = (jnp.arange(Q) % n_steps) == (n_steps - 1)
+
+    use_phase, use_aud, use_txt = cfg.use_phase, cfg.use_aud, cfg.use_txt
+
+    def step(carry, xs):
+        prev_code, prev_phase = carry
+        (a_rank, a_blk, a_seq, a_start, t_rank, t_blk, t_seq, t_start,
+         is_last, rbit) = xs
+
+        pos_rank = rank_jnp(dev.sig_dist[prev_code]).astype(jnp.float32)
+        base = pos_rank + dev.freq_rank if cfg.use_freq else pos_rank
+
+        out_phase = prev_phase
+        vote = jnp.int32(0)
+        if not use_phase and use_aud and use_txt:
+            combined = base + a_rank + t_rank
+            c = jnp.argsort(combined)[cfg.desired_k]
+            block = jnp.where(rbit > 0, a_blk[c], t_blk[c])
+        elif not use_phase and use_aud:
+            c = jnp.argsort(base + a_rank)[cfg.desired_k]
+            block = a_blk[c]
+        elif not use_phase and use_txt:
+            c = jnp.argsort(base + t_rank)[cfg.desired_k]
+            block = t_blk[c]
+        elif use_phase and use_aud and not use_txt:
+            order = jnp.argsort(base + a_rank)[:2]
+            h0, tl0 = _phase_head_tail(dev, a_seq[order[0]],
+                                       a_start[order[0]])
+            h1, tl1 = _phase_head_tail(dev, a_seq[order[1]],
+                                       a_start[order[1]])
+            d0 = _phase_continuity(prev_phase, h0)
+            d1 = _phase_continuity(prev_phase, h1)
+            pick0 = d0 <= d1
+            c = jnp.where(pick0, order[0], order[1])
+            block = a_blk[c]
+            out_phase = jnp.where(pick0, tl0, tl1)
+        elif use_phase and not use_aud and use_txt:
+            order = jnp.argsort(base + t_rank)[:2]
+            h0, tl0 = _phase_head_tail(dev, t_seq[order[0]],
+                                       t_start[order[0]])
+            h1, tl1 = _phase_head_tail(dev, t_seq[order[1]],
+                                       t_start[order[1]])
+            d0 = _phase_continuity(prev_phase, h0)
+            d1 = _phase_continuity(prev_phase, h1)
+            pick0 = d0 <= d1
+            c = jnp.where(pick0, order[0], order[1])
+            block = t_blk[c]
+            out_phase = jnp.where(pick0, tl0, tl1)
+        elif use_phase and use_aud and use_txt:
+            ca = jnp.argmin(base + a_rank)
+            ct = jnp.argmin(base + t_rank)
+            ha, tla = _phase_head_tail(dev, a_seq[ca], a_start[ca])
+            ht, tlt = _phase_head_tail(dev, t_seq[ct], t_start[ct])
+            da = _phase_continuity(prev_phase, ha)
+            dt = _phase_continuity(prev_phase, ht)
+            pick_aud = da <= dt
+            block = jnp.where(pick_aud, a_blk[ca], t_blk[ct])
+            out_phase = jnp.where(pick_aud, tla, tlt)
+            vote = jnp.where(pick_aud, 0, 1).astype(jnp.int32)
+        else:
+            raise ValueError("unsupported flag combination")
+
+        # Seed chaining: within a window the next step continues from the
+        # last appended code (block[-1]); across a window boundary the seed
+        # is the 30th kept code — block[1] of the final step
+        # (GestureKNN.py:789-802; result[1:31][-1]).
+        next_code = jnp.where(is_last, block[1], block[-1]).astype(jnp.int32)
+        return (next_code, out_phase), (block, out_phase, vote)
+
+    zeros = jnp.zeros((Q,), dtype=jnp.float32)
+    zeros_i = jnp.zeros((Q,), dtype=jnp.int32)
+    xs = (
+        tables.aud_rank if use_aud else zeros,
+        tables.aud_block if use_aud else zeros_i,
+        tables.aud_seq if use_aud else zeros_i,
+        tables.aud_start if use_aud else zeros_i,
+        tables.txt_rank if use_txt else zeros,
+        tables.txt_block if use_txt else zeros_i,
+        tables.txt_seq if use_txt else zeros_i,
+        tables.txt_start if use_txt else zeros_i,
+        last_step,
+        rand_bits if rand_bits is not None else zeros_i,
+    )
+    if init_phase is None:
+        init_phase = jnp.zeros((8, 16), dtype=jnp.float32)
+    (_, _), (blocks, phases, votes) = jax.lax.scan(
+        step, (init_code.astype(jnp.int32), init_phase), xs)
+    return blocks, phases, votes
+
+
+class CodeKNNEngine:
+    """Drop-in device engine with the oracle's semantics."""
+
+    def __init__(self, cfg: MatchConfig, db: MatchDatabase):
+        self.cfg = cfg
+        self.db = db
+        self.dev = DeviceDatabase(
+            sig_dist=jnp.asarray(db.sig_dist),
+            freq_rank=(jnp.asarray(
+                np.argsort(np.argsort(db.freq_dist, kind="stable"),
+                           kind="stable")).astype(jnp.float32)
+                       * cfg.freq_weight),
+            phase=jnp.asarray(db.phase) if db.phase is not None else None,
+            amp=jnp.asarray(db.amp) if db.amp is not None else None)
+
+    def predict(self, test_audio: Optional[np.ndarray],
+                test_context: Optional[np.ndarray] = None,
+                init_code: Optional[int] = None,
+                init_phase: Optional[np.ndarray] = None,
+                rng: Optional[np.random.RandomState] = None) -> OracleResult:
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        if init_code is None:
+            from .oracle import CodeKNNOracle
+            init_code, got_phase = CodeKNNOracle(self.db).init_code_phase(rng)
+            if init_phase is None:
+                init_phase = got_phase
+
+        tables = build_device_tables(cfg, self.db, test_audio, test_context)
+        W = (test_audio if test_audio is not None else test_context).shape[0]
+        S = tables.n_steps
+        rand_bits = None
+        if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
+            rand_bits = jnp.asarray(
+                (rng.rand(W * S) > 0.5).astype(np.int32))
+
+        blocks, phases, votes = _fuse_scan(
+            cfg, S, self.dev, tables, jnp.asarray(init_code),
+            jnp.asarray(init_phase) if init_phase is not None else None,
+            rand_bits)
+        blocks = np.asarray(blocks).reshape(W, S * cfg.step_sz)
+        codes = blocks[:, :cfg.num_frames_code].astype(np.int32)
+        phases_np = None
+        if cfg.use_phase:
+            phases_np = np.asarray(phases).reshape(W, S, 8, 16)[:, -1]
+        votes_np = np.asarray(votes).reshape(W, S) \
+            if (cfg.use_phase and cfg.use_aud and cfg.use_txt) else None
+        return OracleResult(codes=codes, phases=phases_np, votes=votes_np)
+
+
+# Make MatchConfig hashable-as-static for jax.jit static_argnames.
+assert dataclasses.is_dataclass(MatchConfig)

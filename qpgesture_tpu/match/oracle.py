@@ -33,11 +33,13 @@ def cosine_distance(a: np.ndarray, b: np.ndarray) -> np.float32:
     """1 - cosine similarity, matching sklearn paired_distances('cosine')
     (GestureKNN.py:131,679-685). Zero vectors behave as unit contributions of
     zero similarity (distance 1)."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
     na = np.linalg.norm(a)
     nb = np.linalg.norm(b)
-    na = na if na > 0 else 1.0
-    nb = nb if nb > 0 else 1.0
-    return np.float32(1.0 - np.dot(a, b) / (na * nb))
+    a = a / (na if na > 0 else 1.0)
+    b = b / (nb if nb > 0 else 1.0)
+    return np.float32(1.0 - np.dot(a, b))
 
 
 @dataclass

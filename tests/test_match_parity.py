@@ -1,0 +1,99 @@
+"""Engine <-> oracle parity: the device matching program must select exactly
+the same codebook indices as the NumPy semantic spec, in every supported
+mode combination (the BASELINE.json 'identical selected codebook indices'
+criterion, checked against the spec since no real BEAT data ships)."""
+import numpy as np
+import pytest
+
+from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
+from qpgesture_tpu.match.database import (stage_database, stage_test_audio,
+                                          stage_test_context)
+from qpgesture_tpu.match.engine import CodeKNNEngine, build_device_tables
+from qpgesture_tpu.match.oracle import (CodeKNNOracle, audio_candidates,
+                                        text_candidates)
+
+from fixtures import make_fixture
+
+
+def _stage(cfg, fx):
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                        wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+    test_audio = None
+    if cfg.use_aud:
+        test_audio = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"],
+                                      wavlm=fx["test_wavlm"],
+                                      wavvq=fx["test_wavvq"])
+    test_context = None
+    if cfg.use_txt:
+        test_context = stage_test_context(db, fx["test_context"])
+    return db, test_audio, test_context
+
+
+@pytest.mark.parametrize("preset", ["wavvq", "shipped", "no_phase",
+                                    "no_text", "no_audio", "mfcc",
+                                    "wavvq_aud_only"])
+def test_engine_matches_oracle(preset):
+    rng = np.random.RandomState(2024 + hash(preset) % 1000)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    cfg = MATCH_PRESETS[preset]
+    cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 64})
+    db, test_audio, test_context = _stage(cfg, fx)
+
+    oracle = CodeKNNOracle(db)
+    res_o = oracle.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+    engine = CodeKNNEngine(cfg, db)
+    res_e = engine.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
+    if res_o.phases is not None:
+        np.testing.assert_allclose(res_o.phases, res_e.phases, atol=1e-5)
+    if res_o.votes is not None:
+        np.testing.assert_array_equal(res_o.votes, res_e.votes)
+
+
+def test_candidate_tables_match():
+    """Per-step audio/text candidate tables (dist per code, continuation
+    block, source position) agree between oracle and device reduction."""
+    rng = np.random.RandomState(7)
+    fx = make_fixture(rng, n_seq=3, n_test=1, codebook=32)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq"].__dict__,
+                         "codebook_size": 32})
+    db, test_audio, test_context = _stage(cfg, fx)
+
+    tables = build_device_tables(cfg, db, test_audio, test_context)
+    W, S = test_audio.shape[:2]
+    for s in range(S):
+        ct = audio_candidates(db, test_audio[0, s])
+        q = s  # window 0
+        blk = np.asarray(tables.aud_block[q])
+        np.testing.assert_array_equal(ct.block, blk)
+        # starts: oracle stores frame; engine stores phase start
+        starts = (ct.frame / 398 * 240).astype(np.int32)
+        matched = ct.dist < cfg.unmatched_dist
+        np.testing.assert_array_equal(starts[matched],
+                                      np.asarray(tables.aud_start[q])[matched])
+        np.testing.assert_array_equal(ct.seq[matched],
+                                      np.asarray(tables.aud_seq[q])[matched])
+        tt = text_candidates(db, test_context[0, s])
+        np.testing.assert_array_equal(tt.block,
+                                      np.asarray(tables.txt_block[q]))
+
+
+def test_seed_chaining_across_windows():
+    """Window i>0 must seed from window i-1's 30th code (which is the 2nd
+    code of the final step's block, not the last appended code)."""
+    rng = np.random.RandomState(11)
+    fx = make_fixture(rng, n_seq=4, n_test=3, codebook=48)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq_aud_only"].__dict__,
+                         "codebook_size": 48})
+    db, test_audio, _ = _stage(cfg, fx)
+    oracle = CodeKNNOracle(db)
+    full = oracle.predict(test_audio, None,
+                          rng=np.random.RandomState(cfg.seed))
+    # re-run window 1 alone with the explicit seed: must reproduce
+    res1 = oracle.predict(test_audio[1:2], None,
+                          init_code=int(full.codes[0, -1]),
+                          rng=np.random.RandomState(0))
+    np.testing.assert_array_equal(res1.codes[0], full.codes[1])
