@@ -1,0 +1,109 @@
+"""Torch checkpoint -> flax parameter conversion.
+
+Converts the reference's saved state_dicts (torch.save({'model_dict': ...}),
+train.py:114-116) into this framework's parameter pytrees, so the published
+pretrained VQ-VAE / PAE checkpoints decode here without retraining.
+
+Layout facts encoded below (from the reference module trees):
+  * Conv1d weight (out, in, k) -> flax nn.Conv kernel (k, in, out);
+  * ConvTranspose1d weight (in, out, k) -> our ConvTranspose1dTorch kernel
+    (k, in, out) flipped along k (see encdec.ConvTranspose1dTorch);
+  * encoder blocks live at encoders.0.level_blocks.0.model.{i} where
+    i < down_t is Sequential(Conv1d, Resnet1D) and i == down_t is the
+    projection conv (encdec.py:17-27);
+  * decoder blocks at decoders.0.level_blocks.0.model.{i}: i == 0 is the
+    projection conv, i >= 1 is Sequential(Resnet1D, ConvTranspose1d), plus
+    decoders.0.out (encdec.py:37-48,113);
+  * ResConv1DBlock convs sit at .model.1 / .model.3 inside each depth
+    (resnet.py:31-38); the decoder's reversed-dilation list is reversed at
+    module level (resnet.py:61-62) so indices map 1:1;
+  * the EMA codebook buffer is bottleneck.level_blocks.0.k
+    (bottleneck.py:28).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..core.config import VQVAEConfig
+from .bottleneck import CodebookState
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def strip_prefix(state_dict: Dict, prefix: str = "module.") -> Dict:
+    """Remove nn.DataParallel's 'module.' wrapper prefix."""
+    return {k[len(prefix):] if k.startswith(prefix) else k: v
+            for k, v in state_dict.items()}
+
+
+def conv1d(state_dict: Dict, key: str) -> Dict:
+    w = _np(state_dict[f"{key}.weight"])  # (out, in, k)
+    return {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+            "bias": _np(state_dict[f"{key}.bias"])}
+
+
+def conv_transpose1d(state_dict: Dict, key: str) -> Dict:
+    w = _np(state_dict[f"{key}.weight"])  # (in, out, k)
+    kernel = np.ascontiguousarray(w.transpose(2, 0, 1)[::-1])
+    return {"kernel": kernel, "bias": _np(state_dict[f"{key}.bias"])}
+
+
+def _resnet(state_dict: Dict, key: str, depth: int) -> Dict:
+    out = {}
+    for d in range(depth):
+        out[f"block{d}"] = {
+            "conv1": conv1d(state_dict, f"{key}.model.{d}.model.1"),
+            "conv2": conv1d(state_dict, f"{key}.model.{d}.model.3"),
+        }
+    return out
+
+
+def convert_vqvae(state_dict: Dict, cfg: VQVAEConfig
+                  ) -> Tuple[Dict, CodebookState]:
+    """state_dict: the reference VQVAE's model_dict (optionally with the
+    DataParallel 'module.' prefix). Returns (params, codebook_state)."""
+    sd = strip_prefix(state_dict)
+    down_t = cfg.downs_t[0]
+    depth = cfg.depth * cfg.hvqvae_multipliers[0]
+
+    enc_base = "encoders.0.level_blocks.0"
+    enc_level = {}
+    for i in range(down_t):
+        enc_level[f"down{i}_conv"] = conv1d(sd, f"{enc_base}.model.{i}.0")
+        enc_level[f"down{i}_resnet"] = _resnet(
+            sd, f"{enc_base}.model.{i}.1", depth)
+    enc_level["proj"] = conv1d(sd, f"{enc_base}.model.{down_t}")
+
+    dec_base = "decoders.0.level_blocks.0"
+    dec_level = {"proj": conv1d(sd, f"{dec_base}.model.0")}
+    for i in range(down_t):
+        dec_level[f"up{i}_resnet"] = _resnet(
+            sd, f"{dec_base}.model.{i + 1}.0", depth)
+        dec_level[f"up{i}_convt"] = conv_transpose1d(
+            sd, f"{dec_base}.model.{i + 1}.1")
+
+    params = {
+        "encoder": {"level0": enc_level},
+        "decoder": {"level0": dec_level,
+                    "out": conv1d(sd, "decoders.0.out")},
+    }
+
+    k = _np(sd["bottleneck.level_blocks.0.k"]).astype(np.float32)
+    # restore_k semantics (bottleneck.py:51-61): resume EMA stats from k.
+    cb = CodebookState(k=k, k_sum=k.copy(),
+                       k_elem=np.ones((k.shape[0],), np.float32))
+    return params, cb
+
+
+def load_vqvae_checkpoint(path: str, cfg: VQVAEConfig):
+    """Load a reference .bin checkpoint (torch pickle) and convert."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
+    return convert_vqvae(sd, cfg)
