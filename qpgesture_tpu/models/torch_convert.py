@@ -101,6 +101,45 @@ def convert_vqvae(state_dict: Dict, cfg: VQVAEConfig
     return params, cb
 
 
+def _batchnorm(state_dict: Dict, key: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(state_dict[f"{key}.weight"]),
+              "bias": _np(state_dict[f"{key}.bias"])}
+    stats = {"mean": _np(state_dict[f"{key}.running_mean"]),
+             "var": _np(state_dict[f"{key}.running_var"])}
+    return params, stats
+
+
+def _dense(state_dict: Dict, key: str) -> Dict:
+    w = _np(state_dict[f"{key}.weight"])  # (out, in)
+    return {"kernel": np.ascontiguousarray(w.T),
+            "bias": _np(state_dict[f"{key}.bias"])}
+
+
+def convert_pae(state_dict: Dict, phase_channels: int = 8) -> Dict:
+    """Reference PAE state_dict (PAE.py:50-96 layer names) -> flax variables
+    {'params': ..., 'batch_stats': ...}."""
+    sd = strip_prefix(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("conv1", "conv2", "deconv1", "deconv2"):
+        params[name] = conv1d(sd, name)
+    for name in ("bn_conv1", "bn_conv2", "bn_deconv1"):
+        p, s = _batchnorm(sd, name)
+        params[name], stats[name] = p, s
+    for i in range(phase_channels):
+        params[f"fc{i}"] = _dense(sd, f"fc.{i}")
+        p, s = _batchnorm(sd, f"bn.{i}")
+        params[f"bn{i}"], stats[f"bn{i}"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+def load_pae_checkpoint(path: str, phase_channels: int = 8):
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
+    return convert_pae(sd, phase_channels)
+
+
 def load_vqvae_checkpoint(path: str, cfg: VQVAEConfig):
     """Load a reference .bin checkpoint (torch pickle) and convert."""
     import torch

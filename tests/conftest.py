@@ -6,14 +6,25 @@ execute real collectives over them.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend even when the environment pins JAX_PLATFORMS=axon
+# (the TPU relay): tests must run hermetically on a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    assert jax.default_backend() == "cpu", "tests must run on CPU devices"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture
