@@ -1,0 +1,97 @@
+"""Headline benchmark: the quick-start workload on one TPU chip.
+
+Reference baseline: matching a 24 s clip against the processed speaker
+database takes ~5 minutes of CPU NumPy search (reference README.md:35),
+i.e. 24/300 = 0.08 gesture-seconds matched per wall-second. This benchmark
+runs the same workload shape — a 24 s clip (6 windows x 4 s) matched with
+the full phase+text+audio CodeKNN semantics against a speaker-10-scale
+database (1024 windows), then VQ-VAE-decoded to 135-dim rotation poses —
+entirely on device, and reports gesture-seconds per wall-second.
+
+Synthetic seeded data is used at exactly the real tensor shapes (no BEAT
+data ships with either repo); the engine is the one verified bit-exact
+against the reference-semantics oracle in tests/test_match_parity.py.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qpgesture_tpu.core.config import MATCH_PRESETS
+    from qpgesture_tpu.core.schemas import CodebookSignature, DatabaseBundle
+    from qpgesture_tpu.core import constants as C
+    from qpgesture_tpu.match.database import (stage_database,
+                                              stage_test_audio,
+                                              stage_test_context)
+    from qpgesture_tpu.match.engine import CodeKNNEngine
+    from qpgesture_tpu.core.config import VQVAEConfig
+    from qpgesture_tpu.models.vqvae import VQVAE
+
+    rng = np.random.RandomState(0)
+    J = 1024            # speaker-10-scale database (4 s windows)
+    W = 6               # 24 s test clip
+    cfg = MATCH_PRESETS["wavvq"]  # Levenshtein audio + text + phase
+
+    bundle = DatabaseBundle(
+        context=rng.randn(J, 30, C.CONTEXT_DIM).astype(np.float32),
+        phase=rng.rand(J, C.NUM_FRAMES, 4, 8).astype(np.float32))
+    codes = rng.randint(0, C.CODEBOOK_SIZE, size=(J, 30)).astype(np.int32)
+    signature = CodebookSignature(
+        code=np.tile(np.arange(C.CODEBOOK_SIZE)[:, None], (1, 30)),
+        poses=np.zeros((C.CODEBOOK_SIZE, 1, 1), np.float32),
+        signature=rng.randn(C.CODEBOOK_SIZE, C.POSE_DIM).astype(np.float32))
+    wavvq = rng.randint(0, C.WAVVQ_VOCAB,
+                        size=(J, C.WAVVQ_FRAMES, 2)).astype(np.int32)
+    test_wavvq = rng.randint(0, C.WAVVQ_VOCAB,
+                             size=(W, C.WAVVQ_FRAMES, 2)).astype(np.int32)
+    test_context = rng.randn(W, 30, C.CONTEXT_DIM).astype(np.float32)
+
+    db = stage_database(cfg, bundle, codes, signature, wavvq=wavvq)
+    test_audio = stage_test_audio(cfg, db, wavvq=test_wavvq)
+    test_ctx = stage_test_context(db, test_context)
+
+    engine = CodeKNNEngine(cfg, db)
+
+    vq_cfg = VQVAEConfig()
+    model = VQVAE(vq_cfg)
+    params, cb = model.init(jax.random.PRNGKey(0), sample_len=240)
+    cb = model.init_codebook_from_batch(
+        params,
+        jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
+        jax.random.PRNGKey(1))
+    decode = jax.jit(lambda c: model.decode(params, cb, c))
+
+    def run():
+        res = engine.predict(test_audio, test_ctx, init_code=7,
+                             init_phase=np.zeros((8, 16), np.float32))
+        poses = decode(jnp.asarray(res.codes))
+        return res.codes, np.asarray(poses)
+
+    # warmup (compile)
+    codes_out, poses = run()
+    assert codes_out.shape == (W, 30) and poses.shape == (W, 240, 135)
+
+    n_iters = 5
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        run()
+    elapsed = (time.perf_counter() - start) / n_iters
+
+    gesture_seconds = W * 4.0
+    value = gesture_seconds / elapsed
+    baseline = 24.0 / 300.0  # reference: ~5 min for the 24 s quick-start
+    print(json.dumps({
+        "metric": "gesture_seconds_matched_per_wall_second",
+        "value": round(value, 3),
+        "unit": "gesture-s/s",
+        "vs_baseline": round(value / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

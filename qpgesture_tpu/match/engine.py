@@ -104,14 +104,13 @@ class DeviceDatabase:
     amp: Optional[jnp.ndarray]         # (J, 240, 8)
 
 
-def _candidate_tables(cfg: MatchConfig, codes: jnp.ndarray,
-                      blocks: jnp.ndarray, frames: np.ndarray,
-                      dist: jnp.ndarray):
-    """Reduce a (Q, J*B) distance matrix to per-code tables."""
-    J, B = codes.shape
-    seg = codes.reshape(-1)
-    mins, args, matched = segment_min_argmin(
-        dist, seg, cfg.codebook_size, cfg.unmatched_dist)
+def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
+                        args: jnp.ndarray, matched: jnp.ndarray,
+                        blocks: jnp.ndarray, frames: np.ndarray):
+    """Per-code (rank, block, seq, start) tables from reduced per-code
+    (min dist, global argmin flat index, matched) arrays. blocks: (J, B, s)
+    continuation-code table (small, replicated)."""
+    J, B = blocks.shape[:2]
     blocks_flat = blocks.reshape(J * B, -1)
     blk = blocks_flat[args]                                   # (Q, 512, step)
     code_ids = jnp.arange(cfg.codebook_size, dtype=jnp.int32)
@@ -124,6 +123,16 @@ def _candidate_tables(cfg: MatchConfig, codes: jnp.ndarray,
     start = start_tab[args % B]
     rank = jax.vmap(rank_jnp)(mins).astype(jnp.float32)
     return rank, blk, seq, start
+
+
+def _candidate_tables(cfg: MatchConfig, codes: jnp.ndarray,
+                      blocks: jnp.ndarray, frames: np.ndarray,
+                      dist: jnp.ndarray):
+    """Reduce a (Q, J*B) distance matrix to per-code tables."""
+    seg = codes.reshape(-1)
+    mins, args, matched = segment_min_argmin(
+        dist, seg, cfg.codebook_size, cfg.unmatched_dist)
+    return tables_from_minargs(cfg, mins, args, matched, blocks, frames)
 
 
 def build_device_tables(cfg: MatchConfig, db: MatchDatabase,

@@ -55,7 +55,9 @@ def init_codebook(x: jnp.ndarray, k_bins: int,
     y = _tile_to_k(x, k_bins, rng_tile)
     perm = jax.random.permutation(rng_perm, y.shape[0])
     k = y[perm[:k_bins]]
-    return CodebookState(k=k, k_sum=k, k_elem=jnp.ones((k_bins,), x.dtype))
+    # k_sum must not alias k: the train step donates its input buffers.
+    return CodebookState(k=k, k_sum=k + 0.0,
+                         k_elem=jnp.ones((k_bins,), x.dtype))
 
 
 def quantise(state: CodebookState,
@@ -93,17 +95,20 @@ def update_codebook(state: CodebookState, x: jnp.ndarray,
                         precision=jax.lax.Precision.HIGHEST)
     _k_elem = jnp.sum(onehot, axis=0)
 
-    y = _tile_to_k(x, k_bins, jax.random.fold_in(rng, 1))
+    # Dead-code restart candidates must be identical on every replica (the
+    # reference broadcasts rank 0's rows, bottleneck.py:75): draw them from
+    # the all-gathered batch with a replica-identical rng, which also makes
+    # an N-way data-parallel step bit-equal to the single-device step.
+    x_pool = x
+    if axis_name is not None:
+        x_pool = jax.lax.all_gather(x, axis_name).reshape(-1, x.shape[-1])
+    y = _tile_to_k(x_pool, k_bins, jax.random.fold_in(rng, 1))
     perm = jax.random.permutation(jax.random.fold_in(rng, 2), y.shape[0])
     _k_rand = y[perm[:k_bins]]
 
     if axis_name is not None:
         _k_sum = jax.lax.psum(_k_sum, axis_name)
         _k_elem = jax.lax.psum(_k_elem, axis_name)
-        # _k_rand needs no collective: rng is replica-identical, and the
-        # restart rows derive from the local shard only through _tile_to_k's
-        # noise — acceptable because restarts are rare and any valid data
-        # row is a legal restart. (The reference broadcast rank-0 rows.)
 
     old_k = state.k
     k_sum = mu * state.k_sum + (1.0 - mu) * _k_sum

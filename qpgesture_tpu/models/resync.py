@@ -1,0 +1,107 @@
+"""ResyncNet: 1-D UNet generator + WGAN-GP discriminator.
+
+Same models as the reference (Speech2GestureMatching/model.py:50-117,
+UNet down 128/256/256/512 with avg-pool halving and nearest-upsample skips;
+InstanceNorm discriminator ending in a Linear over the flattened half^3
+resolution), used to "resync" KNN output motion to the audio.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import constants as C
+from .encdec import Conv1dTorch
+
+
+class DoubleConv(nn.Module):
+    features: int
+    norm: str = "batch"  # 'batch' | 'instance'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(2):
+            x = Conv1dTorch(self.features, 3, 1, 1, name=f"conv{i}")(x)
+            if self.norm == "batch":
+                x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis=-1,
+                                 use_running_average=not train,
+                                 name=f"norm{i}")(x)
+            else:
+                # InstanceNorm1d(affine=True): normalize each (sample,
+                # channel) over time
+                mean = jnp.mean(x, axis=1, keepdims=True)
+                var = jnp.var(x, axis=1, keepdims=True)
+                x = (x - mean) / jnp.sqrt(var + 1e-5)
+                scale = self.param(f"in{i}_scale", nn.initializers.ones,
+                                   (self.features,))
+                bias = self.param(f"in{i}_bias", nn.initializers.zeros,
+                                  (self.features,))
+                x = x * scale + bias
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        return x
+
+
+def avg_pool1d(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool1d(2) on NTC."""
+    T = x.shape[1] - (x.shape[1] % 2)
+    return x[:, :T].reshape(x.shape[0], T // 2, 2, x.shape[2]).mean(axis=2)
+
+
+def upsample_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.repeat(x, 2, axis=1)
+
+
+class ResyncNet(nn.Module):
+    """(B, T, mfcc+joints) -> (B, T, joints) residual-synced motion."""
+    out_features: int = C.NUM_JOINTS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = DoubleConv(128, name="down1")(x, train)
+        x = avg_pool1d(c1)
+        c2 = DoubleConv(256, name="down2")(x, train)
+        x = avg_pool1d(c2)
+        c3 = DoubleConv(256, name="down3")(x, train)
+        x = avg_pool1d(c3)
+        x = DoubleConv(512, name="down4")(x, train)
+        x = upsample_nearest(x)
+        x = DoubleConv(256, name="up3")(jnp.concatenate([x, c3], -1), train)
+        x = upsample_nearest(x)
+        x = DoubleConv(256, name="up2")(jnp.concatenate([x, c2], -1), train)
+        x = upsample_nearest(x)
+        x = DoubleConv(256, name="up1")(jnp.concatenate([x, c1], -1), train)
+        return Conv1dTorch(self.out_features, 1, 1, 0, name="last")(x)
+
+
+class Discriminator(nn.Module):
+    """InstanceNorm double-conv stack, avg-pool x3, Linear critic
+    (model.py:96-117)."""
+    num_frames: int = C.NUM_FRAMES
+
+    @nn.compact
+    def __call__(self, x):
+        x = DoubleConv(512, norm="instance", name="d1")(x)
+        x = avg_pool1d(x)
+        x = DoubleConv(256, norm="instance", name="d2")(x)
+        x = avg_pool1d(x)
+        x = DoubleConv(128, norm="instance", name="d3")(x)
+        x = avg_pool1d(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(1, use_bias=False, name="critic")(x)
+
+
+def gradient_penalty(disc_apply, variables, real: jnp.ndarray,
+                     fake: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """WGAN-GP interpolation penalty (train_resync_gestureknn.py:38-105)."""
+    eps = jax.random.uniform(rng, (real.shape[0], 1, 1))
+    interp = eps * real + (1 - eps) * fake
+
+    def critic_sum(z):
+        return jnp.sum(disc_apply(variables, z))
+
+    grads = jax.grad(critic_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2)) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)

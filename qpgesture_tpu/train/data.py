@@ -1,0 +1,145 @@
+"""Host input pipeline: windowed pose/audio samples from plain arrays.
+
+Replaces the reference's LMDB + pyarrow two-stage cache
+(codebook/data_loader/lmdb_data_loader.py:20-74, data_preprocessor.py:30-106)
+with a memory-mapped npz/npy store: clips are windowed with the same
+MINLEN / stride arithmetic, normalized with the dataset mean/std
+(clip(std, 0.01)), and batched with a seeded shuffle.
+"""
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def window_clip(poses: np.ndarray, audio: Optional[np.ndarray],
+                n_poses: int, stride: int, fps: int = 60,
+                sr: int = 16000) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Slice one clip into windows (DataPreprocessor.
+    _sample_from_clip_allspeakers, data_preprocessor.py:55-106):
+    num_subdivision = floor((MINLEN - n_poses) / stride) + 1; audio windows
+    are aligned by fraction-of-clip, length n_poses/fps*sr."""
+    minlen = len(poses)
+    if audio is not None:
+        minlen = min(minlen, int(len(audio) * fps / sr))
+    n_sub = math.floor((minlen - n_poses) / stride) + 1
+    if n_sub <= 0:
+        empty_a = None if audio is None else np.zeros((0, 0), audio.dtype)
+        return np.zeros((0, n_poses) + poses.shape[1:], poses.dtype), empty_a
+    pose_wins = np.stack([poses[i * stride:i * stride + n_poses]
+                          for i in range(n_sub)])
+    audio_wins = None
+    if audio is not None:
+        alen = int(n_poses / fps * sr)
+        outs = []
+        for i in range(n_sub):
+            start = math.floor(i * stride / len(poses) * len(audio))
+            seg = audio[start:start + alen]
+            if len(seg) < alen:
+                seg = np.pad(seg, (0, alen - len(seg)))
+            outs.append(seg)
+        audio_wins = np.stack(outs)
+    return pose_wins, audio_wins
+
+
+@dataclass
+class WindowedDataset:
+    """In-memory/memmap window store with z-normalization and batching."""
+    poses: np.ndarray                     # (N, n_poses, C)
+    audio: Optional[np.ndarray] = None    # (N, samples)
+    codes: Optional[np.ndarray] = None    # (N, n_codes)
+    data_mean: Optional[np.ndarray] = None
+    data_std: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return self.poses.shape[0]
+
+    def normalized_poses(self) -> np.ndarray:
+        if self.data_mean is None:
+            return self.poses
+        std = np.clip(self.data_std, 0.01, None)
+        return (self.poses - self.data_mean) / std
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                seed: int = 0, drop_last: bool = True,
+                include: Sequence[str] = ("poses",)
+                ) -> Iterator:
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        poses = self.normalized_poses()
+        stop = n - (n % batch_size) if drop_last else n
+        for s in range(0, stop, batch_size):
+            idx = order[s:s + batch_size]
+            out = []
+            for key in include:
+                if key == "poses":
+                    out.append(poses[idx].astype(np.float32))
+                elif key == "audio":
+                    out.append(self.audio[idx].astype(np.float32))
+                elif key == "codes":
+                    out.append(self.codes[idx].astype(np.int32))
+            yield out[0] if len(out) == 1 else tuple(out)
+
+    @classmethod
+    def from_clips(cls, clips: List[dict], n_poses: int, stride: int,
+                   fps: int = 60, data_mean=None, data_std=None
+                   ) -> "WindowedDataset":
+        """clips: [{'poses': (T, C), 'audio': (S,) or None}, ...]."""
+        pose_list, audio_list = [], []
+        for clip in clips:
+            p, a = window_clip(clip["poses"], clip.get("audio"), n_poses,
+                               stride, fps)
+            if len(p):
+                pose_list.append(p)
+                if a is not None:
+                    audio_list.append(a)
+        poses = np.concatenate(pose_list) if pose_list else \
+            np.zeros((0, n_poses, clips[0]["poses"].shape[-1]))
+        audio = np.concatenate(audio_list) if audio_list else None
+        return cls(poses=poses, audio=audio,
+                   data_mean=None if data_mean is None
+                   else np.asarray(data_mean),
+                   data_std=None if data_std is None
+                   else np.asarray(data_std))
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.save(os.path.join(directory, "poses.npy"), self.poses)
+        if self.audio is not None:
+            np.save(os.path.join(directory, "audio.npy"), self.audio)
+        if self.codes is not None:
+            np.save(os.path.join(directory, "codes.npy"), self.codes)
+        if self.data_mean is not None:
+            np.savez(os.path.join(directory, "stats.npz"),
+                     mean=self.data_mean, std=self.data_std)
+
+    @classmethod
+    def load(cls, directory: str, mmap: bool = True) -> "WindowedDataset":
+        mode = "r" if mmap else None
+        poses = np.load(os.path.join(directory, "poses.npy"), mmap_mode=mode)
+        audio = codes = mean = std = None
+        ap = os.path.join(directory, "audio.npy")
+        if os.path.exists(ap):
+            audio = np.load(ap, mmap_mode=mode)
+        cp = os.path.join(directory, "codes.npy")
+        if os.path.exists(cp):
+            codes = np.load(cp, mmap_mode=mode)
+        sp = os.path.join(directory, "stats.npz")
+        if os.path.exists(sp):
+            stats = np.load(sp)
+            mean, std = stats["mean"], stats["std"]
+        return cls(poses=poses, audio=audio, codes=codes,
+                   data_mean=mean, data_std=std)
+
+
+def dataset_stats(clips: List[dict]) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel mean/std over all frames of all clips — the numbers the
+    reference prints for pasting into YAML (beat_data_to_lmdb.py:255-262)."""
+    all_poses = np.concatenate([c["poses"] for c in clips], axis=0)
+    return all_poses.mean(axis=0), all_poses.std(axis=0)

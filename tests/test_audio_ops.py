@@ -1,0 +1,116 @@
+"""Audio featurization tests: MFCC vs the vendored Sphinx implementation
+(imported from the read-only reference as a golden oracle), jnp batched vs
+host oracle, and the GRU/resync model shapes."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qpgesture_tpu.ops.mfcc import (MFCCConfig, SphinxMFCCJax, mel_filterbank,
+                                    s2dctmat, sphinx_mfcc_np)
+
+
+def _reference_mfcc():
+    """Import the reference's vendored Sphinx MFCC as a golden oracle
+    (librosa stubbed out: the class itself never uses it)."""
+    if "librosa" not in sys.modules:
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    sys.path.insert(0, "/root/reference/codebook/Speech2GestureMatching")
+    try:
+        import mfcc as ref_mfcc
+        return ref_mfcc
+    except Exception:
+        return None
+
+
+@pytest.mark.parametrize("frate", [20, 60])
+def test_mfcc_matches_reference(frate, rng):
+    ref = _reference_mfcc()
+    if ref is None:
+        pytest.skip("reference mfcc not importable")
+    sig = rng.randn(16000).astype(np.float64) * 0.1
+    obj = ref.MFCC(frate=frate)
+    want = obj.sig2s2mfc_energy(sig, None)[:, :-2]
+    got = sphinx_mfcc_np(sig, MFCCConfig(frate=frate))
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_mfcc_jax_matches_oracle(rng):
+    sigs = (rng.randn(3, 16000) * 0.1).astype(np.float32)
+    cfg = MFCCConfig(frate=60)
+    jaxed = SphinxMFCCJax(cfg)(sigs)
+    for b in range(3):
+        ref = sphinx_mfcc_np(sigs[b].astype(np.float64), cfg)
+        np.testing.assert_allclose(jaxed[b], ref, atol=2e-3)
+
+
+def test_filterbank_properties():
+    fb = mel_filterbank()
+    assert fb.shape == (257, 40)
+    assert (fb >= 0).all()
+    dct = s2dctmat()
+    assert dct.shape == (13, 40)
+    # first column halved (the 'legacy' quirk); row 0 is otherwise all ones
+    np.testing.assert_allclose(dct[0, 0], 0.5)
+    np.testing.assert_allclose(dct[0, 1:], np.ones(39))
+
+
+def test_gru_baseline_shapes(rng):
+    from qpgesture_tpu.models.gru_baseline import GeneratorGRU
+    model = GeneratorGRU(hidden=16, output=32)
+    wav = jnp.asarray(rng.randn(2, 64000).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 32, size=(2, 30)))
+    variables = model.init(jax.random.PRNGKey(0), wav, targets)
+    logits, loss = model.apply(variables, wav, targets)
+    assert logits.shape == (2, 30, 32)
+    assert np.isfinite(float(loss))
+    codes = model.sample(variables, wav)
+    assert codes.shape == (2, 30)
+
+
+def test_gru_cell_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    from qpgesture_tpu.models.gru_baseline import TorchGRUCell, _run_gru
+    H, D, T = 8, 5, 7
+    tgru = torch.nn.GRU(D, H, num_layers=1, batch_first=True)
+    cell = TorchGRUCell(H)
+    sd = tgru.state_dict()
+    params = {"params": {
+        "w_ih": np.asarray(sd["weight_ih_l0"]).T,
+        "w_hh": np.asarray(sd["weight_hh_l0"]).T,
+        "b_ih": np.asarray(sd["bias_ih_l0"]),
+        "b_hh": np.asarray(sd["bias_hh_l0"]),
+    }}
+    x = rng.randn(2, T, D).astype(np.float32)
+    h = jnp.zeros((2, H))
+    outs = []
+    hcur = h
+    for t in range(T):
+        hcur, _ = cell.apply(params, hcur, jnp.asarray(x[:, t]))
+        outs.append(hcur)
+    got = np.stack([np.asarray(o) for o in outs], axis=1)
+    with torch.no_grad():
+        want, _ = tgru(torch.from_numpy(x))
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5)
+
+
+def test_resync_shapes(rng):
+    from qpgesture_tpu.models.resync import (Discriminator, ResyncNet,
+                                             gradient_penalty)
+    gen = ResyncNet(out_features=9)
+    x = jnp.asarray(rng.randn(2, 64, 13 + 9).astype(np.float32))
+    variables = gen.init(jax.random.PRNGKey(0), x)
+    y = gen.apply(variables, x)
+    assert y.shape == (2, 64, 9)
+    disc = Discriminator(num_frames=64)
+    dx = jnp.asarray(rng.randn(2, 64, 13 + 9).astype(np.float32))
+    dvars = disc.init(jax.random.PRNGKey(1), dx)
+    score = disc.apply(dvars, dx)
+    assert score.shape == (2, 1)
+    gp = gradient_penalty(disc.apply, dvars, dx, dx * 0.5,
+                          jax.random.PRNGKey(2))
+    assert np.isfinite(float(gp))

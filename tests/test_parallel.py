@@ -1,0 +1,55 @@
+"""Sharded matching tests on the 8-device CPU mesh: the database-sharded
+candidate reduction and the full sharded engine must match the single-device
+engine bit-for-bit."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
+from qpgesture_tpu.match.database import (stage_database, stage_test_audio,
+                                          stage_test_context)
+from qpgesture_tpu.match.engine import build_device_tables
+from qpgesture_tpu.parallel.mesh import make_mesh
+from qpgesture_tpu.parallel.sharded_match import (build_sharded_tables,
+                                                  sharded_min_reduce_demo)
+
+from fixtures import make_fixture
+
+
+def test_sharded_min_reduce_demo():
+    sharded_min_reduce_demo(make_mesh(8))
+
+
+def test_sharded_tables_match_single_device():
+    rng = np.random.RandomState(5)
+    fx = make_fixture(rng, n_seq=6, n_test=2, codebook=64)
+    for preset in ("wavvq", "shipped"):
+        cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
+                             "codebook_size": 64})
+        db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                            wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+        test_audio = stage_test_audio(cfg, db, wavlm=fx["test_wavlm"],
+                                      wavvq=fx["test_wavvq"])
+        test_context = stage_test_context(db, fx["test_context"])
+        single = build_device_tables(cfg, db, test_audio, test_context)
+        mesh = make_mesh(8)
+        sharded = build_sharded_tables(cfg, db, mesh, test_audio,
+                                       test_context)
+        for name in ("aud_rank", "aud_block", "aud_seq", "aud_start",
+                     "txt_rank", "txt_block", "txt_seq", "txt_start"):
+            a = getattr(single, name)
+            b = getattr(sharded, name)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{preset}:{name}")
+
+
+def test_graft_entry_contract():
+    """The driver contract: entry() compiles and dryrun_multichip(8) runs."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    import jax
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out[1]))
+    ge.dryrun_multichip(8)
