@@ -1,0 +1,120 @@
+"""Decode/render + metrics + prosody tests."""
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from qpgesture_tpu.core.config import VQVAEConfig
+from qpgesture_tpu.models.vqvae import VQVAE
+from qpgesture_tpu.motion.bvh import parse_bvh
+from qpgesture_tpu.motion.pipeline import MotionPipeline
+from qpgesture_tpu.render.decode import (decode_codes, poses_to_bvh,
+                                         render_result, smooth_poses)
+from qpgesture_tpu.render.metrics import (fgd, frechet_distance, hellinger,
+                                          hellinger_velocity)
+from qpgesture_tpu.pipelines.audio_host import (cal_volume, get_energy,
+                                                get_pitch, interp_to_fps,
+                                                mel_bank_slaney)
+
+sys.path.insert(0, "tests")
+from test_motion import make_bvh_text  # noqa: E402
+
+SMALL = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=16,
+                    input_dim=6 * 9, sample_length=4)
+
+
+def _pipeline_and_model(rng):
+    text, _ = make_bvh_text(rng, n_frames=80, fps=120)
+    data = parse_bvh(text)
+    pipe = MotionPipeline(
+        target_joints=["Spine", "Spine1", "RightShoulder", "RightArm",
+                       "LeftShoulder", "LeftArm"], fps=60).fit(data)
+    model = VQVAE(SMALL)
+    params, cb = model.init(jax.random.PRNGKey(0), sample_len=32)
+    import jax.numpy as jnp
+    cb = model.init_codebook_from_batch(
+        params, jnp.asarray(rng.randn(2, 32, SMALL.input_dim)
+                            .astype(np.float32)), jax.random.PRNGKey(1))
+    return pipe, model, params, cb
+
+
+def test_render_result_writes_bvh(tmp_path, rng):
+    pipe, model, params, cb = _pipeline_and_model(rng)
+    codes = rng.randint(0, SMALL.l_bins, size=(2, 4)).astype(np.int32)
+    bvh_path, npy_path = render_result(
+        codes, model, params, cb, pipe, str(tmp_path), "t",
+        data_mean=np.zeros(SMALL.input_dim),
+        data_std=np.ones(SMALL.input_dim))
+    back = parse_bvh(bvh_path)
+    assert back.values.shape[0] == 2 * 4 * 8  # windows * codes * hop
+    pos = np.load(npy_path)
+    assert pos.shape == (2 * 4 * 8, 7 * 3)  # root + 6 joints
+
+
+def test_decode_roundtrip_euler(rng):
+    """poses -> BVH -> parse -> euler matches the pipeline's inverse."""
+    pipe, model, params, cb = _pipeline_and_model(rng)
+    codes = rng.randint(0, SMALL.l_bins, size=(1, 4)).astype(np.int32)
+    poses = decode_codes(model, params, cb, codes)
+    bvh = poses_to_bvh(poses, pipe)
+    from qpgesture_tpu.motion.rotations import matrices_to_poses
+    euler = matrices_to_poses(poses)
+    idx = [bvh.channel_names.index(c) for c in pipe.selected_columns]
+    np.testing.assert_allclose(bvh.values[:, idx], euler, atol=1e-6)
+
+
+def test_smoothing_shapes(rng):
+    poses = rng.randn(100, 18).astype(np.float32)
+    out = smooth_poses(poses, savgol=True, gaussian=True)
+    assert out.shape == poses.shape
+
+
+def test_hellinger_basics(rng):
+    p = np.array([[0.5, 0.5, 0.0]])
+    assert hellinger(p, p) == pytest.approx(0.0, abs=1e-9)
+    q = np.array([[0.0, 0.0, 1.0]])
+    assert hellinger(p, q) == pytest.approx(1.0, abs=1e-9)
+    a = rng.randn(500, 6)
+    b = a + 0.001 * rng.randn(500, 6)
+    assert hellinger_velocity(a, a.copy()) < 1e-9
+    assert hellinger_velocity(a, b) < hellinger_velocity(a, a * 3.0)
+
+
+def test_frechet_distance(rng):
+    a = rng.randn(400, 8)
+    assert frechet_distance(a, a.copy()) == pytest.approx(0.0, abs=1e-6)
+    b = rng.randn(400, 8) + 2.0
+    assert frechet_distance(a, b) > 8.0 * 3  # ~ |mu|^2 = 8*4
+    wins_a = rng.randn(50, 10, 4)
+    wins_b = rng.randn(50, 10, 4) * 2
+    assert fgd(wins_a, wins_b) > fgd(wins_a, wins_a)
+
+
+def test_prosody_features(rng):
+    sr = 16000
+    t = np.arange(sr)
+    wav = 0.4 * np.sin(2 * np.pi * 220.0 * t / sr)
+    energy = get_energy(wav)
+    assert energy.shape[0] == 1 + sr // 256
+    # a pure tone's pitch should be found near 220 Hz
+    f0 = get_pitch(wav, log=False, norm=False)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    np.testing.assert_allclose(np.median(voiced), 220.0, rtol=0.05)
+    # volume of silence ~ 0, of the tone > 0
+    wav16 = (wav * 32767).astype(np.int16)
+    vol = cal_volume(wav16)
+    assert vol.mean() > 1.0
+    # interpolation to motion fps
+    out = interp_to_fps(energy, 60)
+    assert out.shape == (60,)
+
+
+def test_mel_bank_matches_librosa_if_available():
+    librosa = pytest.importorskip("librosa")
+    got = mel_bank_slaney(16000, 1024, 80, 80, 7600)
+    want = librosa.filters.mel(sr=16000, n_fft=1024, n_mels=80, fmin=80,
+                               fmax=7600)
+    np.testing.assert_allclose(got, want, atol=1e-8)
