@@ -135,44 +135,99 @@ def _candidate_tables(cfg: MatchConfig, codes: jnp.ndarray,
     return tables_from_minargs(cfg, mins, args, matched, blocks, frames)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["aud_feat", "aud_codes", "aud_blocks", "aud_starts",
+                      "txt_feat", "txt_codes", "txt_blocks", "txt_starts"],
+         meta_fields=[])
+@dataclass
+class DeviceMatchDB:
+    """Staged database tensors resident on device."""
+    aud_feat: Optional[jnp.ndarray]    # (J, B, D) f32 or (J, B, L) i32
+    aud_codes: Optional[jnp.ndarray]   # (J, B) i32
+    aud_blocks: Optional[jnp.ndarray]  # (J, B, step) i32
+    aud_starts: Optional[jnp.ndarray]  # (B,) i32 phase window starts
+    txt_feat: Optional[jnp.ndarray]
+    txt_codes: Optional[jnp.ndarray]
+    txt_blocks: Optional[jnp.ndarray]
+    txt_starts: Optional[jnp.ndarray]
+
+
+def _phase_starts(frames: np.ndarray) -> np.ndarray:
+    return (np.asarray(frames, np.float64) / C.WAVVQ_FRAMES
+            * C.NUM_FRAMES).astype(np.int32)
+
+
+def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
+    aud_feat = None
+    if cfg.use_aud:
+        aud_feat = jnp.asarray(db.aud_strings if cfg.audio_mode ==
+                               "wavvq_feat" else db.aud_feat)
+    return DeviceMatchDB(
+        aud_feat=aud_feat,
+        aud_codes=jnp.asarray(db.aud_codes) if cfg.use_aud else None,
+        aud_blocks=jnp.asarray(db.aud_blocks) if cfg.use_aud else None,
+        aud_starts=jnp.asarray(_phase_starts(db.aud_frames))
+        if cfg.use_aud else None,
+        txt_feat=jnp.asarray(db.txt_feat) if cfg.use_txt else None,
+        txt_codes=jnp.asarray(db.txt_codes) if cfg.use_txt else None,
+        txt_blocks=jnp.asarray(db.txt_blocks) if cfg.use_txt else None,
+        txt_starts=jnp.asarray(_phase_starts(db.txt_frames))
+        if cfg.use_txt else None)
+
+
+def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
+                     is_strings: bool):
+    J, B = codes.shape
+    if is_strings:
+        dist = levenshtein_matrix(
+            q, feat.reshape(J * B, feat.shape[-1])).astype(jnp.float32)
+    else:
+        dist = cosine_distance_matrix(q, feat.reshape(J * B, feat.shape[-1]))
+    seg = codes.reshape(-1)
+    mins, args, matched = segment_min_argmin(
+        dist, seg, cfg.codebook_size, cfg.unmatched_dist)
+    blocks_flat = blocks.reshape(J * B, -1)
+    blk = blocks_flat[args]
+    code_ids = jnp.arange(cfg.codebook_size, dtype=jnp.int32)
+    blk = jnp.where(matched[..., None], blk,
+                    jnp.broadcast_to(code_ids[None, :, None], blk.shape))
+    seq = (args // B).astype(jnp.int32)
+    start = starts[args % B]
+    rank = jax.vmap(rank_jnp)(mins).astype(jnp.float32)
+    return rank, blk, seq, start
+
+
+def _tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
+                 test_context) -> DeviceTables:
+    aud = (None,) * 4
+    txt = (None,) * 4
+    n_steps = 0
+    if cfg.use_aud:
+        W, S = test_audio.shape[:2]
+        n_steps = S
+        q = test_audio.reshape(W * S, *test_audio.shape[2:])
+        aud = _tables_one_side(cfg, q, devdb.aud_feat, devdb.aud_codes,
+                               devdb.aud_blocks, devdb.aud_starts,
+                               cfg.audio_mode == "wavvq_feat")
+    if cfg.use_txt:
+        W, S = test_context.shape[:2]
+        n_steps = S
+        q = test_context.reshape(W * S, -1)
+        txt = _tables_one_side(cfg, q, devdb.txt_feat, devdb.txt_codes,
+                               devdb.txt_blocks, devdb.txt_starts, False)
+    return DeviceTables(aud_rank=aud[0], aud_block=aud[1], aud_seq=aud[2],
+                        aud_start=aud[3], txt_rank=txt[0], txt_block=txt[1],
+                        txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps)
+
+
 def build_device_tables(cfg: MatchConfig, db: MatchDatabase,
                         test_audio: Optional[np.ndarray],
                         test_context: Optional[np.ndarray]) -> DeviceTables:
     """Phase 1: all queries vs all database positions, reduced per code."""
-    aud_rank = aud_block = aud_seq = aud_start = None
-    txt_rank = txt_block = txt_seq = txt_start = None
-    n_steps = 0
-
-    if cfg.use_aud:
-        W, S = test_audio.shape[:2]
-        n_steps = S
-        q = jnp.asarray(test_audio.reshape(W * S, *test_audio.shape[2:]))
-        if cfg.audio_mode == "wavvq_feat":
-            dbs = jnp.asarray(db.aud_strings)
-            dist = levenshtein_matrix(
-                q, dbs.reshape(-1, dbs.shape[-1])).astype(jnp.float32)
-        else:
-            dbf = jnp.asarray(db.aud_feat)
-            dist = cosine_distance_matrix(q, dbf.reshape(-1, dbf.shape[-1]))
-        aud_rank, aud_block, aud_seq, aud_start = _candidate_tables(
-            cfg, jnp.asarray(db.aud_codes), jnp.asarray(db.aud_blocks),
-            db.aud_frames, dist)
-
-    if cfg.use_txt:
-        W, S = test_context.shape[:2]
-        n_steps = S
-        q = jnp.asarray(test_context.reshape(W * S, -1))
-        dbf = jnp.asarray(db.txt_feat)
-        dist = cosine_distance_matrix(q, dbf.reshape(-1, dbf.shape[-1]))
-        txt_rank, txt_block, txt_seq, txt_start = _candidate_tables(
-            cfg, jnp.asarray(db.txt_codes), jnp.asarray(db.txt_blocks),
-            db.txt_frames, dist)
-
-    return DeviceTables(aud_rank=aud_rank, aud_block=aud_block,
-                        aud_seq=aud_seq, aud_start=aud_start,
-                        txt_rank=txt_rank, txt_block=txt_block,
-                        txt_seq=txt_seq, txt_start=txt_start,
-                        n_steps=n_steps)
+    devdb = device_match_db(cfg, db)
+    ta = jnp.asarray(test_audio) if cfg.use_aud else None
+    tc = jnp.asarray(test_context) if cfg.use_txt else None
+    return _tables_impl(cfg, devdb, ta, tc)
 
 
 def _phase_head_tail(dev: DeviceDatabase, seq, start):
@@ -294,12 +349,25 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
     return blocks, phases, votes
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _predict_impl(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
+                  devdb: DeviceMatchDB, test_audio, test_context,
+                  init_code, init_phase, rand_bits):
+    """The whole clip as ONE device program: candidate tables + fused scan."""
+    tables = _tables_impl(cfg, devdb, test_audio, test_context)
+    return _fuse_scan(cfg, n_steps, dev, tables, init_code, init_phase,
+                      rand_bits)
+
+
 class CodeKNNEngine:
-    """Drop-in device engine with the oracle's semantics."""
+    """Drop-in device engine with the oracle's semantics. All database
+    tensors live in HBM for the engine's lifetime; each predict() call is a
+    single jitted device program (compiled once per clip shape)."""
 
     def __init__(self, cfg: MatchConfig, db: MatchDatabase):
         self.cfg = cfg
         self.db = db
+        self.devdb = device_match_db(cfg, db)
         self.dev = DeviceDatabase(
             sig_dist=jnp.asarray(db.sig_dist),
             freq_rank=(jnp.asarray(
@@ -322,17 +390,21 @@ class CodeKNNEngine:
             if init_phase is None:
                 init_phase = got_phase
 
-        tables = build_device_tables(cfg, self.db, test_audio, test_context)
+        geom = self.db.geom
         W = (test_audio if test_audio is not None else test_context).shape[0]
-        S = tables.n_steps
+        S = (test_audio if test_audio is not None else test_context).shape[1]
         rand_bits = None
         if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
             rand_bits = jnp.asarray(
                 (rng.rand(W * S) > 0.5).astype(np.int32))
 
-        blocks, phases, votes = _fuse_scan(
-            cfg, S, self.dev, tables, jnp.asarray(init_code),
-            jnp.asarray(init_phase) if init_phase is not None else None,
+        blocks, phases, votes = _predict_impl(
+            cfg, S, self.dev, self.devdb,
+            jnp.asarray(test_audio) if cfg.use_aud else None,
+            jnp.asarray(test_context) if cfg.use_txt else None,
+            jnp.asarray(init_code),
+            jnp.asarray(init_phase) if init_phase is not None
+            else jnp.zeros((8, 16), jnp.float32),
             rand_bits)
         blocks = np.asarray(blocks).reshape(W, S * cfg.step_sz)
         codes = blocks[:, :cfg.num_frames_code].astype(np.int32)

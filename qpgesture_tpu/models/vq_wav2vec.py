@@ -1,0 +1,179 @@
+"""vq-wav2vec audio code extraction (JAX inference port).
+
+The reference extracts the 2-group x 320-vocab Gumbel code indices with
+fairseq's vq-wav2vec (`model.feature_extractor` +
+`model.vector_quantizer.forward_idx`, make_test_data.py:43-57,
+make_beat_dataset.py:388-429): a 4 s window (64000 samples) becomes
+(398, 2) int codes — the strings the Levenshtein matcher compares.
+
+Architecture (wav2vec v1 feature extractor + Gumbel VQ, Baevski et al.
+2019; fairseq layer names preserved in the converter):
+  * conv stack [(512,10,5), (512,8,4), (512,4,2), (512,4,2), (512,4,2)]:
+    Conv1d(bias=False) -> GroupNorm(1 group, affine) -> activation, with
+    optional skip connections and log compression log(1+|x|);
+  * GumbelVectorQuantizer: a weight projection (linear, or an MLP when the
+    checkpoint was trained with weight_proj_depth > 1) to groups*num_vars
+    logits; inference codes are the per-group argmax.
+
+Fidelity note: fairseq is not installed in this image and the public
+vq-wav2vec.pt is not vendored, so unlike WavLM this port is verified by
+construction + converter key coverage, not output equivalence; the
+matching engine also accepts precomputed wavvq features as the escape
+hatch (SURVEY §2.9).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class VQWav2VecConfig:
+    conv_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5), (512, 8, 4), (512, 4, 2), (512, 4, 2), (512, 4, 2))
+    activation: str = "gelu"        # vq-wav2vec default
+    log_compression: bool = True
+    skip_connections: bool = False
+    residual_scale: float = 0.5
+    groups: int = 2
+    num_vars: int = 320
+    weight_proj_depth: int = 1
+    weight_proj_factor: int = 2
+
+
+def _act(name: str):
+    return nn.gelu if name == "gelu" else nn.relu
+
+
+class VQW2VFeatureExtractor(nn.Module):
+    cfg: VQWav2VecConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, n_samples) -> (B, frames, 512). 64000 -> 398 frames."""
+        cfg = self.cfg
+        act = _act(cfg.activation)
+        x = wav[..., None]
+        for i, (dim, k, stride) in enumerate(cfg.conv_layers):
+            residual = x
+            kernel = self.param(f"conv{i}_kernel",
+                                nn.initializers.he_normal(),
+                                (k, x.shape[-1], dim))
+            x = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(stride,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                precision=jax.lax.Precision.HIGHEST)
+            # Fp32GroupNorm(1, dim, affine): normalize over (T, C) per sample
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            x = (x - mean) / jnp.sqrt(var + 1e-5)
+            x = x * self.param(f"gn{i}_scale", nn.initializers.ones, (dim,))
+            x = x + self.param(f"gn{i}_bias", nn.initializers.zeros, (dim,))
+            x = act(x)
+            if cfg.skip_connections and residual.shape[-1] == dim:
+                t = x.shape[1]
+                r = residual[:, ::residual.shape[1] // t][:, :t]
+                x = (x + r) * cfg.residual_scale
+        if cfg.log_compression:
+            x = jnp.log1p(jnp.abs(x))
+        return x
+
+
+class GumbelCodebook(nn.Module):
+    """Inference path of fairseq's GumbelVectorQuantizer: logits argmax."""
+    cfg: VQWav2VecConfig
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, 512) -> (B, T, groups) int32 codes (forward_idx)."""
+        cfg = self.cfg
+        out_dim = cfg.groups * cfg.num_vars
+        h = z
+        if cfg.weight_proj_depth > 1:
+            inner = cfg.weight_proj_factor * out_dim
+            for d in range(cfg.weight_proj_depth - 1):
+                h = _act(cfg.activation)(
+                    nn.Dense(inner, name=f"proj{d}")(h))
+            logits = nn.Dense(out_dim, name="proj_out")(h)
+        else:
+            logits = nn.Dense(out_dim, name="proj_out")(h)
+        logits = logits.reshape(z.shape[0], z.shape[1], cfg.groups,
+                                cfg.num_vars)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+class VQWav2Vec(nn.Module):
+    cfg: VQWav2VecConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, 64000) -> (B, 398, 2) codes — the wavvq_240.npz schema."""
+        z = VQW2VFeatureExtractor(self.cfg, name="feature_extractor")(wav)
+        return GumbelCodebook(self.cfg, name="vector_quantizer")(z)
+
+
+def convert_vq_wav2vec(state_dict: dict, cfg: Optional[VQWav2VecConfig] = None
+                       ) -> Tuple[VQWav2VecConfig, dict]:
+    """fairseq vq-wav2vec state_dict -> (config, flax variables). The
+    weight_proj depth is inferred from the checkpoint's keys."""
+    from .torch_convert import _np
+
+    depth = 1
+    if any(k.startswith("vector_quantizer.weight_proj.0")
+           for k in state_dict):
+        depth = 1 + sum(
+            1 for k in state_dict
+            if k.startswith("vector_quantizer.weight_proj.")
+            and k.endswith(".weight")) - 1
+    cfg = cfg or VQWav2VecConfig(weight_proj_depth=max(depth, 1))
+
+    fe: dict = {}
+    for i in range(len(cfg.conv_layers)):
+        base = f"feature_extractor.conv_layers.{i}"
+        w = _np(state_dict[f"{base}.0.weight"])   # (out, in, k)
+        fe[f"conv{i}_kernel"] = np.ascontiguousarray(w.transpose(2, 1, 0))
+        fe[f"gn{i}_scale"] = _np(state_dict[f"{base}.2.weight"]).reshape(-1)
+        fe[f"gn{i}_bias"] = _np(state_dict[f"{base}.2.bias"]).reshape(-1)
+
+    vq: dict = {}
+    if cfg.weight_proj_depth > 1:
+        proj_keys = sorted(
+            {int(k.split(".")[2]) for k in state_dict
+             if k.startswith("vector_quantizer.weight_proj.")
+             and k.split(".")[2].isdigit()})
+        dense_idx = 0
+        for k_i in proj_keys:
+            wkey = f"vector_quantizer.weight_proj.{k_i}.weight"
+            if wkey not in state_dict:
+                continue
+            entry = {"kernel": _np(state_dict[wkey]).T,
+                     "bias": _np(
+                         state_dict[f"vector_quantizer.weight_proj.{k_i}"
+                                    ".bias"])}
+            if dense_idx < cfg.weight_proj_depth - 1:
+                vq[f"proj{dense_idx}"] = entry
+            else:
+                vq["proj_out"] = entry
+            dense_idx += 1
+    else:
+        vq["proj_out"] = {
+            "kernel": _np(state_dict["vector_quantizer.weight_proj.weight"]).T,
+            "bias": _np(state_dict["vector_quantizer.weight_proj.bias"])}
+
+    return cfg, {"params": {"feature_extractor": fe,
+                            "vector_quantizer": vq}}
+
+
+def load_vq_wav2vec_checkpoint(path: str):
+    """Load a fairseq vq-wav2vec.pt checkpoint (torch pickle with
+    state under 'model')."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    cfg, variables = convert_vq_wav2vec(sd)
+    return VQWav2Vec(cfg), variables
