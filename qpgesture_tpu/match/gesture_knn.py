@@ -1,0 +1,206 @@
+"""Raw-pose GestureKNN (the Habibie-style frame-matching baseline).
+
+The reference's `main()` path (GestureKNN.py:70-341): autoregressive
+frame-block search where each step finds, per database sequence, the nearest
+frame to the current pose feature (skipping exact matches, padded tails, and
+control-masked frames), rank-sum-fuses that pose distance with the cosine
+audio distance of the candidate block's first frame, and copies the selected
+8-frame block. Timings in the reference: 1h58m for 185 sequences
+(GestureKNN.py:410).
+
+Device design: per step, the pose-distance matrix over all (sequence, frame)
+pairs is one fused expansion matmul; the per-sequence first-valid-candidate
+is an argmin under a validity mask; the sequential dependency (the pose
+feature advances by the chosen block) is a lax.scan.
+
+Documented deviation: database sequences with no valid candidate are ranked
+last (+inf distance) instead of being dropped from the candidate list, which
+preserves selection for any desired_k below the valid count.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import constants as C
+from ..ops.ranking import rank_np
+
+
+@dataclass
+class GestureKNNData:
+    """Staged database: features (K, L, A+P) normalized, motion (K, L, J)."""
+    feat: np.ndarray
+    motion: np.ndarray
+    control_mask: np.ndarray
+    n_aud: int
+    step_sz: int = 8
+
+
+def _valid_frames(d: np.ndarray, mask_row: np.ndarray,
+                  step: int) -> np.ndarray:
+    L = d.shape[0]
+    f_idx = np.arange(L)
+    ok = (d != 0.0) & (f_idx <= L - step)
+    ok &= (mask_row + np.concatenate(
+        [mask_row[step - 1:], np.zeros(step - 1)])[:L]) == 2
+    return ok
+
+
+def search_motion_np(db: GestureKNNData, feat_test: np.ndarray,
+                     init_seq: int, init_frm: int,
+                     desired_k: int = 0) -> np.ndarray:
+    """NumPy oracle for GestureKNN.search_motion (GestureKNN.py:102-211).
+    feat_test: (n_aud, n_frames). Returns (n_joints, n_frames)."""
+    n_aud, step = db.n_aud, db.step_sz
+    K, L = db.feat.shape[:2]
+    n_frames = feat_test.shape[1]
+    feat = np.concatenate([feat_test[:, :1], feat_test], axis=1)
+    pose_feat = np.zeros((db.feat.shape[2] - n_aud, feat.shape[1]),
+                         np.float32)
+    pose_feat[:, 0] = db.feat[init_seq, init_frm, n_aud:]
+    pred = np.zeros((db.motion.shape[2], n_frames + 1), np.float32)
+
+    j = 1
+    while j < n_frames:
+        cur = pose_feat[:, j - 1]
+        pos_dist = np.full(K, np.inf, np.float32)
+        frame_sel = np.zeros(K, np.int64)
+        for k in range(K):
+            if db.control_mask[k].sum() == 0:
+                continue
+            d = np.linalg.norm(db.feat[k, :, n_aud:] - cur, axis=1)
+            ok = _valid_frames(d, db.control_mask[k], step)
+            if not ok.any():
+                continue
+            dm = np.where(ok, d, np.inf)
+            f = int(np.argmin(dm))
+            pos_dist[k] = dm[f]
+            frame_sel[k] = f
+        aud_q = feat[:n_aud, j]
+        aud_dist = np.full(K, np.inf, np.float32)
+        for k in range(K):
+            if np.isfinite(pos_dist[k]):
+                cand = db.feat[k, frame_sel[k], :n_aud]
+                na = np.linalg.norm(aud_q) or 1.0
+                nb = np.linalg.norm(cand) or 1.0
+                aud_dist[k] = 1.0 - np.dot(aud_q / na, cand / nb)
+        combined = (rank_np(pos_dist).astype(np.float32)
+                    + rank_np(aud_dist).astype(np.float32))
+        combined = np.where(np.isfinite(pos_dist), combined, np.inf)
+        sel = int(np.argsort(combined, kind="stable")[desired_k])
+        f = frame_sel[sel]
+        blk_feat = db.feat[sel, f:f + step, n_aud:].T       # (P, <=step)
+        blk_pose = db.motion[sel, f:f + step].T             # (J, <=step)
+        w = blk_feat.shape[1]
+        pose_feat[:, j:j + w] = blk_feat
+        pred[:, j:j + w] = blk_pose
+        j += step
+    return pred[:, 1:]
+
+
+@partial(jax.jit, static_argnames=("n_aud", "step", "desired_k", "n_steps"))
+def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
+                       n_aud: int, step: int, desired_k: int, n_steps: int):
+    """Jitted scan over steps. feat_db: (K, L, A+P); feat_test padded
+    (A, 1+n_frames)."""
+    K, L = feat_db.shape[:2]
+    P = feat_db.shape[2] - n_aud
+    pose_db = feat_db[:, :, n_aud:]                       # (K, L, P)
+    aud_db = feat_db[:, :, :n_aud]
+    pose_db_sq = jnp.sum(pose_db ** 2, axis=-1)           # (K, L)
+    f_idx = jnp.arange(L)
+    tail_ok = f_idx <= L - step
+    mask_ok = (mask + jnp.concatenate(
+        [mask[:, step - 1:], jnp.zeros((K, step - 1))], axis=1)[:, :L]) == 2
+    static_ok = tail_ok[None, :] & mask_ok                # (K, L)
+    seq_alive = mask.sum(axis=1) > 0
+
+    from ..ops.ranking import rank_jnp
+
+    def body(pose_cur, j):
+        d2 = (pose_db_sq - 2.0 * jnp.einsum(
+            "klp,p->kl", pose_db, pose_cur,
+            precision=jax.lax.Precision.HIGHEST)
+            + jnp.sum(pose_cur ** 2))
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        ok = static_ok & (d != 0.0) & seq_alive[:, None]
+        dm = jnp.where(ok, d, jnp.inf)
+        f_sel = jnp.argmin(dm, axis=1)                    # (K,)
+        pos_dist = jnp.take_along_axis(dm, f_sel[:, None], axis=1)[:, 0]
+        valid = jnp.isfinite(pos_dist)
+
+        aud_q = feat_test[:, j]
+        cand = jnp.take_along_axis(
+            aud_db, f_sel[:, None, None], axis=1)[:, 0]   # (K, A)
+        nq = jnp.linalg.norm(aud_q)
+        nq = jnp.where(nq > 0, nq, 1.0)
+        nc = jnp.linalg.norm(cand, axis=1)
+        nc = jnp.where(nc > 0, nc, 1.0)
+        aud_dist = 1.0 - (cand @ (aud_q / nq)) / nc
+        aud_dist = jnp.where(valid, aud_dist, jnp.inf)
+        pos_for_rank = jnp.where(valid, pos_dist, jnp.inf)
+        combined = (rank_jnp(pos_for_rank).astype(jnp.float32)
+                    + rank_jnp(aud_dist).astype(jnp.float32))
+        combined = jnp.where(valid, combined, jnp.inf)
+        sel = jnp.argsort(combined)[desired_k]
+        f = f_sel[sel]
+        blk_feat = jax.lax.dynamic_slice(
+            pose_db[sel], (f, 0), (step, P))              # (step, P)
+        blk_pose = jax.lax.dynamic_slice(
+            motion_db[sel], (f, 0), (step, motion_db.shape[2]))
+        return blk_feat[-1], (blk_pose, blk_feat)
+
+    js = 1 + step * jnp.arange(n_steps)
+    _, (blocks, feats) = jax.lax.scan(body, init_pose, js)
+    return blocks, feats  # (n_steps, step, J), (n_steps, step, P)
+
+
+class GestureKNNEngine:
+    """Device engine for the raw-pose baseline."""
+
+    def __init__(self, db: GestureKNNData):
+        self.db = db
+
+    def init_frame(self, rng: np.random.RandomState) -> Tuple[int, int]:
+        """Random valid start frame (init_frame, GestureKNN.py:91-99)."""
+        K, L = self.db.feat.shape[:2]
+        while True:
+            s, f = rng.randint(0, K), rng.randint(0, L)
+            if self.db.control_mask[s, f] == 1:
+                return s, f
+
+    def search_motion(self, feat_test: np.ndarray, init_seq: int,
+                      init_frm: int, desired_k: int = 0) -> np.ndarray:
+        db = self.db
+        step = db.step_sz
+        n_frames = feat_test.shape[1]
+        n_steps = int(np.ceil((n_frames - 1) / step))
+        feat = np.concatenate([feat_test[:, :1], feat_test], axis=1)
+        # pad so each step's j index is in range
+        pad = 1 + n_steps * step + step - feat.shape[1]
+        if pad > 0:
+            feat = np.pad(feat, ((0, 0), (0, pad)))
+        init_pose = jnp.asarray(db.feat[init_seq, init_frm, db.n_aud:])
+        blocks, _ = _search_motion_jit(
+            jnp.asarray(db.feat), jnp.asarray(db.motion),
+            jnp.asarray(db.control_mask.astype(np.float32)),
+            jnp.asarray(feat.astype(np.float32)), init_pose,
+            db.n_aud, step, desired_k, n_steps)
+        width = max(1 + n_steps * step, n_frames + 1)
+        out = np.zeros((db.motion.shape[2], width), np.float32)
+        flat = np.asarray(blocks).reshape(n_steps * step, -1).T
+        out[:, 1:1 + n_steps * step] = flat
+        # pred_motion[:, 1:] (GestureKNN.py:150): drop the init column
+        return out[:, 1:1 + n_frames]
+
+
+def desired_k_distribution(n: int, rng: np.random.RandomState) -> np.ndarray:
+    """The stochastic k sampling of predict_gesture_from_audio
+    (GestureKNN.py:330-331): P(k=0)=0.5, remainder uniform over 1..14."""
+    p = [0.5] + [0.5 / 14] * 14
+    return rng.choice(15, n, p=p)
