@@ -1,0 +1,136 @@
+"""ResyncNet WGAN-GP trainer.
+
+Mirrors Speech2GestureMatching/train_resync_gestureknn.py:38-187: the critic
+trains every iteration on (mfcc | motion) stacks with gradient penalty
+(lambda 100); the UNet generator trains every GEN_HOP=5 iterations after a
+burn-in, with adversarial weight 1 and L1 reconstruction weight 0.1; Adam
+1e-4 both.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import ResyncConfig
+from ..models.resync import Discriminator, ResyncNet, gradient_penalty
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["g_params", "g_stats", "d_params", "g_opt", "d_opt",
+                      "step"],
+         meta_fields=[])
+@dataclass
+class ResyncTrainState:
+    g_params: dict
+    g_stats: dict
+    d_params: dict
+    g_opt: tuple
+    d_opt: tuple
+    step: jnp.ndarray
+
+
+class ResyncTrainer:
+    def __init__(self, cfg: ResyncConfig, n_mfcc: int, n_joints: int,
+                 num_frames: int):
+        self.cfg = cfg
+        self.n_mfcc = n_mfcc
+        self.gen = ResyncNet(out_features=n_joints)
+        self.disc = Discriminator(num_frames=num_frames)
+        self.g_tx = optax.adam(cfg.lr)
+        self.d_tx = optax.adam(cfg.lr)
+        self._d_step = jax.jit(self._build_d_step())
+        self._g_step = jax.jit(self._build_g_step())
+
+    def init_state(self, rng: jax.Array, num_frames: int
+                   ) -> ResyncTrainState:
+        rg, rd = jax.random.split(rng)
+        x = jnp.zeros((1, num_frames, self.n_mfcc + self.gen.out_features))
+        gv = self.gen.init(rg, x, train=True)
+        dv = self.disc.init(rd, x)
+        return ResyncTrainState(
+            g_params=gv["params"], g_stats=gv.get("batch_stats", {}),
+            d_params=dv["params"], g_opt=self.g_tx.init(gv["params"]),
+            d_opt=self.d_tx.init(dv["params"]),
+            step=jnp.zeros((), jnp.int32))
+
+    def _generate(self, state, x_knn, train):
+        variables = {"params": state.g_params,
+                     "batch_stats": state.g_stats}
+        if train:
+            (motion), updates = self.gen.apply(variables, x_knn, train=True,
+                                               mutable=["batch_stats"])
+            return motion, updates["batch_stats"]
+        return self.gen.apply(variables, x_knn, train=False), state.g_stats
+
+    def _build_d_step(self):
+        cfg, disc = self.cfg, self.disc
+
+        def step(state: ResyncTrainState, x_knn, x_real, rng):
+            mfcc = x_knn[:, :, :self.n_mfcc]
+            fake_motion, _ = self._generate(state, x_knn, train=False)
+            fake = jnp.concatenate([mfcc, fake_motion], axis=-1)
+
+            def loss_fn(d_params):
+                dv = {"params": d_params}
+                d_fake = jnp.mean(disc.apply(dv, fake))
+                d_real = jnp.mean(disc.apply(dv, x_real))
+                gp = gradient_penalty(disc.apply, dv, x_real, fake, rng)
+                return d_fake - d_real + cfg.lambda_gp * gp
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.d_params)
+            updates, d_opt = self.d_tx.update(grads, state.d_opt,
+                                              state.d_params)
+            d_params = optax.apply_updates(state.d_params, updates)
+            return ResyncTrainState(
+                g_params=state.g_params, g_stats=state.g_stats,
+                d_params=d_params, g_opt=state.g_opt, d_opt=d_opt,
+                step=state.step + 1), loss
+
+        return step
+
+    def _build_g_step(self):
+        cfg, gen, disc = self.cfg, self.gen, self.disc
+
+        def step(state: ResyncTrainState, x_knn, x_real):
+            mfcc = x_knn[:, :, :self.n_mfcc]
+            real_motion = x_real[:, :, self.n_mfcc:]
+
+            def loss_fn(g_params):
+                (motion), updates = gen.apply(
+                    {"params": g_params, "batch_stats": state.g_stats},
+                    x_knn, train=True, mutable=["batch_stats"])
+                fake = jnp.concatenate([mfcc, motion], axis=-1)
+                adv = -jnp.mean(disc.apply({"params": state.d_params}, fake))
+                recon = jnp.mean(jnp.abs(motion - real_motion))
+                loss = (cfg.weight_gen * adv + cfg.weight_recon * recon)
+                return loss, updates["batch_stats"]
+
+            (loss, g_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.g_params)
+            updates, g_opt = self.g_tx.update(grads, state.g_opt,
+                                              state.g_params)
+            g_params = optax.apply_updates(state.g_params, updates)
+            return ResyncTrainState(
+                g_params=g_params, g_stats=g_stats,
+                d_params=state.d_params, g_opt=g_opt, d_opt=state.d_opt,
+                step=state.step), loss
+
+        return step
+
+    def train_iteration(self, state, x_knn, x_real, rng, it: int
+                        ) -> Tuple[ResyncTrainState, dict]:
+        """One reference-style iteration: D always; G every gen_hop after
+        burn-in (train_resync_gestureknn.py:108-187)."""
+        state, d_loss = self._d_step(state, jnp.asarray(x_knn),
+                                     jnp.asarray(x_real), rng)
+        logs = {"d_loss": float(d_loss)}
+        if it >= self.cfg.burnin_iters or it % self.cfg.gen_hop == 0:
+            state, g_loss = self._g_step(state, jnp.asarray(x_knn),
+                                         jnp.asarray(x_real))
+            logs["g_loss"] = float(g_loss)
+        return state, logs

@@ -1,0 +1,64 @@
+"""PAE / end2end / resync trainer smoke + learning tests on the 8-dev mesh."""
+import numpy as np
+
+import jax
+
+from qpgesture_tpu.core.config import End2EndConfig, PAEConfig, ResyncConfig
+from qpgesture_tpu.parallel.mesh import make_mesh
+from qpgesture_tpu.train.train_end2end import End2EndTrainer
+from qpgesture_tpu.train.train_pae import PAETrainer, cyclic_cosine_restarts
+from qpgesture_tpu.train.train_resync import ResyncTrainer
+
+
+def test_pae_trainer_loss_decreases(rng):
+    cfg = PAEConfig(frames=16, joints=2, channels_per_joint=3,
+                    phase_channels=2, learning_rate=1e-3)
+    trainer = PAETrainer(cfg, mesh=make_mesh(8), steps_per_epoch=4)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    t = np.linspace(0, 4 * np.pi, 16)
+    base = np.stack([np.sin(t + p) for p in np.linspace(0, 1, 6)], 1)
+    x = (base[None] + 0.05 * rng.randn(16, 16, 6)).astype(np.float32)
+    losses = []
+    for i in range(25):
+        state, loss = trainer.train_step(state, x)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    val = trainer.eval_step(state, x)
+    assert np.isfinite(float(val))
+
+
+def test_cyclic_schedule_restarts():
+    sched = cyclic_cosine_restarts(1.0, steps_per_epoch=10,
+                                   restart_period=2, t_mult=2.0)
+    lrs = [float(sched(i)) for i in range(0, 70, 1)]
+    assert lrs[0] == 1.0
+    assert lrs[19] < 0.05          # end of first period (20 steps)
+    assert lrs[20] > 0.9           # restart
+
+
+def test_end2end_trainer(rng):
+    cfg = End2EndConfig(hidden_size=8, output_size=16, lr=1e-3)
+    trainer = End2EndTrainer(cfg, mesh=make_mesh(8), wav_len=64000)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    wav = rng.randn(8, 64000).astype(np.float32)
+    codes = rng.randint(0, 16, size=(8, 30)).astype(np.int32)
+    losses = []
+    for i in range(8):
+        state, loss = trainer.train_step(state, wav, codes,
+                                         jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(float(trainer.eval_step(state, wav, codes)))
+
+
+def test_resync_trainer(rng):
+    cfg = ResyncConfig(lr=1e-4, burnin_iters=2, gen_hop=1, lambda_gp=10)
+    trainer = ResyncTrainer(cfg, n_mfcc=5, n_joints=9, num_frames=32)
+    state = trainer.init_state(jax.random.PRNGKey(0), num_frames=32)
+    x_knn = rng.randn(4, 32, 14).astype(np.float32)
+    x_real = rng.randn(4, 32, 14).astype(np.float32)
+    for it in range(4):
+        state, logs = trainer.train_iteration(state, x_knn, x_real,
+                                              jax.random.PRNGKey(it), it)
+        assert np.isfinite(logs["d_loss"])
+    assert "g_loss" in logs and np.isfinite(logs["g_loss"])
