@@ -1,0 +1,238 @@
+"""Command-line interface.
+
+Subcommands mirror the reference's entry points (SURVEY §3):
+  match       GestureKNN.sh / GestureKNN.py main_codebook  -> result.npz
+  decode      VisualizeCodebook.py --stage inference       -> BVH (+ npy)
+  signature   VisualizeCodebook.py --stage train           -> code.npz
+  test-audio  make_test_data.py                            -> wavvq_240.npz
+  phase       PAE.py --stage inference                     -> Phase npz
+  train-vqvae train.py --config codebook.yml
+  bench       the headline benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_vqvae(checkpoint: str, cfg):
+    """Load either a reference torch .bin or an orbax checkpoint dir."""
+    from .models.vqvae import VQVAE, load_vqvae_native
+    model = VQVAE(cfg)
+    if checkpoint.endswith(".msgpack"):
+        params, cb = load_vqvae_native(checkpoint, model)
+        return model, params, cb
+    if checkpoint.endswith(".bin") or checkpoint.endswith(".pt"):
+        from .models.torch_convert import load_vqvae_checkpoint
+        params, cb = load_vqvae_checkpoint(checkpoint, cfg)
+        import jax.numpy as jnp
+        from .models.bottleneck import CodebookState
+        params = {k: v for k, v in params.items()}
+        cb = CodebookState(k=jnp.asarray(cb.k), k_sum=jnp.asarray(cb.k_sum),
+                           k_elem=jnp.asarray(cb.k_elem))
+        return model, params, cb
+    import jax
+    from .train.checkpoints import restore_checkpoint
+    from .train.train_vqvae import VQVAETrainer
+    from .core.config import TrainConfig
+    trainer = VQVAETrainer(cfg, TrainConfig())
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    state = restore_checkpoint(checkpoint, template, name="best")
+    return model, state.params, state.codebook
+
+
+def cmd_match(args):
+    from .core.config import MATCH_PRESETS, MatchConfig
+    from .core.schemas import (CodebookSignature, DatabaseBundle, load_codes,
+                               load_wavlm, load_wavvq, save_result)
+    from .match.database import (stage_database, stage_test_audio,
+                                 stage_test_context)
+    from .match.engine import CodeKNNEngine
+
+    preset = MATCH_PRESETS[args.preset]
+    bundle = DatabaseBundle.load(args.train_database)
+    codes = load_codes(args.train_codebook)
+    signature = CodebookSignature.load(args.codebook_signature)
+    cfg = MatchConfig(**{**preset.__dict__, "desired_k": args.desired_k,
+                         "codebook_size": signature.signature.shape[0]})
+    wavlm = load_wavlm(args.train_wavlm) if args.train_wavlm else None
+    wavvq = load_wavvq(args.train_wavvq) if args.train_wavvq else None
+    db = stage_database(cfg, bundle, codes, signature, wavlm=wavlm,
+                        wavvq=wavvq)
+
+    test_bundle = DatabaseBundle.load(args.test_data) if args.test_data \
+        else None
+    test_wavlm = load_wavlm(args.test_wavlm) if args.test_wavlm else None
+    test_wavvq = load_wavvq(args.test_wavvq) if args.test_wavvq else None
+    test_audio = stage_test_audio(cfg, db, test_bundle=test_bundle,
+                                  wavlm=test_wavlm, wavvq=test_wavvq) \
+        if cfg.use_aud else None
+    test_context = None
+    if cfg.use_txt:
+        test_context = stage_test_context(db, test_bundle.context)
+    if args.max_frames:
+        if test_audio is not None:
+            test_audio = test_audio[:args.max_frames]
+        if test_context is not None:
+            test_context = test_context[:args.max_frames]
+
+    engine = CodeKNNEngine(cfg, db)
+    result = engine.predict(test_audio, test_context)
+    save_result(args.out, result.codes)
+    print(f"wrote {args.out}: knn_pred {result.codes.shape}")
+
+
+def cmd_decode(args):
+    from .core.config import VQVAEConfig, load_config
+    from .core.schemas import load_result
+    from .motion.pipeline import MotionPipeline
+    from .render.decode import render_result
+
+    cfg = load_config(args.config).vqvae if args.config else VQVAEConfig()
+    model, params, cb = _load_vqvae(args.checkpoint, cfg)
+    with open(args.pipeline) as f:
+        pipeline = MotionPipeline.from_json(f.read())
+    codes = load_result(args.result)
+    mean = std = None
+    if args.config:
+        conf = load_config(args.config)
+        mean = np.asarray(conf.data_mean) if conf.data_mean else None
+        std = np.asarray(conf.data_std) if conf.data_std else None
+    bvh_path, npy_path = render_result(
+        codes, model, params, cb, pipeline, args.out, args.prefix,
+        data_mean=mean, data_std=std, smoothing=args.smooth)
+    print(f"wrote {bvh_path}" + (f" and {npy_path}" if npy_path else ""))
+
+
+def cmd_signature(args):
+    from .core.config import VQVAEConfig, load_config
+    from .core.schemas import CodebookSignature
+    from .models.vqvae import codebook_signature
+
+    conf = load_config(args.config) if args.config else None
+    cfg = conf.vqvae if conf else VQVAEConfig()
+    model, params, cb = _load_vqvae(args.checkpoint, cfg)
+    mean = np.asarray(conf.data_mean) if conf and conf.data_mean else None
+    std = np.asarray(conf.data_std) if conf and conf.data_std else None
+    code, poses, sig = codebook_signature(model, params, cb, mean, std)
+    CodebookSignature(code=code, poses=poses, signature=sig).save(args.out)
+    print(f"wrote {args.out}: signature {sig.shape}")
+
+
+def cmd_test_audio(args):
+    from .core.schemas import save_wavvq
+    from .pipelines.database_builder import window_test_audio
+    import wave as wavemod
+
+    if args.wav.endswith(".npz"):
+        wav = np.load(args.wav)["wav"].astype(np.float32)
+    else:
+        with wavemod.open(args.wav) as f:
+            assert f.getframerate() == 16000, "expected 16 kHz wav"
+            raw = f.readframes(f.getnframes())
+            wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0)
+    windows = window_test_audio(wav)
+    np.savez_compressed(args.out.replace("wavvq", "wav"), wav=windows)
+    if args.wavvq_checkpoint:
+        from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
+        from .pipelines.database_builder import extract_wavvq
+        model, variables = load_vq_wav2vec_checkpoint(args.wavvq_checkpoint)
+        codes = extract_wavvq(model, variables, windows)
+        save_wavvq(args.out, codes)
+        print(f"wrote {args.out}: wavvq {codes.shape}")
+    else:
+        print(f"wrote wav windows {windows.shape}; pass --wavvq-checkpoint "
+              "to extract codes")
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def cmd_train_vqvae(args):
+    import jax
+    from .core.config import load_config
+    from .train.data import WindowedDataset
+    from .train.train_vqvae import VQVAETrainer
+
+    conf = load_config(args.config)
+    ds = WindowedDataset.load(args.data)
+    if conf.data_mean is not None:
+        ds.data_mean = np.asarray(conf.data_mean)
+        ds.data_std = np.asarray(conf.data_std)
+    trainer = VQVAETrainer(conf.vqvae, conf.train)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               sample_len=conf.train.n_poses)
+    first = next(iter(ds.batches(conf.train.batch_size, seed=0)))
+    state = trainer.init_codebook(state, first, jax.random.PRNGKey(1))
+    batches = list(ds.batches(conf.train.batch_size, seed=0))
+    state, best = trainer.fit(state, batches, epochs=args.epochs,
+                              checkpoint_dir=args.out)
+    print(f"best val: {best}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="qpgesture_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("match", help="CodeKNN motion matching")
+    m.add_argument("--train-database", required=True)
+    m.add_argument("--train-codebook", required=True)
+    m.add_argument("--codebook-signature", required=True)
+    m.add_argument("--train-wavlm")
+    m.add_argument("--train-wavvq")
+    m.add_argument("--test-data")
+    m.add_argument("--test-wavlm")
+    m.add_argument("--test-wavvq")
+    m.add_argument("--out", default="./result.npz")
+    m.add_argument("--preset", default="shipped",
+                   choices=["shipped", "wavvq", "wavvq_aud_only", "mfcc",
+                            "no_phase", "no_text", "no_audio"])
+    m.add_argument("--desired-k", type=int, default=0)
+    m.add_argument("--max-frames", type=int, default=0)
+    m.set_defaults(fn=cmd_match)
+
+    d = sub.add_parser("decode", help="decode result.npz to BVH")
+    d.add_argument("--result", required=True)
+    d.add_argument("--checkpoint", required=True)
+    d.add_argument("--pipeline", required=True,
+                   help="MotionPipeline JSON snapshot")
+    d.add_argument("--config")
+    d.add_argument("--out", default="./output")
+    d.add_argument("--prefix", default="generated")
+    d.add_argument("--smooth", action="store_true")
+    d.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("signature", help="build code.npz signatures")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--config")
+    s.add_argument("--out", default="./code.npz")
+    s.set_defaults(fn=cmd_signature)
+
+    t = sub.add_parser("test-audio", help="wav -> wavvq_240.npz")
+    t.add_argument("--wav", required=True)
+    t.add_argument("--out", default="./wavvq_240.npz")
+    t.add_argument("--wavvq-checkpoint")
+    t.set_defaults(fn=cmd_test_audio)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    tv = sub.add_parser("train-vqvae", help="train the gesture VQ-VAE")
+    tv.add_argument("--config", required=True)
+    tv.add_argument("--data", required=True,
+                    help="WindowedDataset directory")
+    tv.add_argument("--out", default="./output/train_codebook")
+    tv.add_argument("--epochs", type=int)
+    tv.set_defaults(fn=cmd_train_vqvae)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

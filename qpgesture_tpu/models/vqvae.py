@@ -112,6 +112,31 @@ def eval_pose_error(x: jnp.ndarray, x_out: jnp.ndarray,
     return jnp.mean(jnp.sqrt(jnp.sum(diff ** 2, axis=3)))
 
 
+def save_vqvae_native(path: str, params, cb: bn.CodebookState) -> None:
+    """Single-file msgpack checkpoint (weights + EMA codebook)."""
+    from flax import serialization
+    payload = {"params": params,
+               "codebook": {"k": cb.k, "k_sum": cb.k_sum,
+                            "k_elem": cb.k_elem}}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_vqvae_native(path: str, model: "VQVAE"):
+    """Inverse of save_vqvae_native; shapes from a fresh init."""
+    from flax import serialization
+    params0, cb0 = model.init(jax.random.PRNGKey(0))
+    template = {"params": params0,
+                "codebook": {"k": cb0.k, "k_sum": cb0.k_sum,
+                             "k_elem": cb0.k_elem}}
+    with open(path, "rb") as f:
+        payload = serialization.from_bytes(template, f.read())
+    cb = bn.CodebookState(k=jnp.asarray(payload["codebook"]["k"]),
+                          k_sum=jnp.asarray(payload["codebook"]["k_sum"]),
+                          k_elem=jnp.asarray(payload["codebook"]["k_elem"]))
+    return payload["params"], cb
+
+
 def codebook_signature(model: VQVAE, params, cb: bn.CodebookState,
                        data_mean: Optional[np.ndarray] = None,
                        data_std: Optional[np.ndarray] = None):

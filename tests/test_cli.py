@@ -1,0 +1,128 @@
+"""CLI round trip: match -> result.npz -> decode -> BVH, file-based."""
+import os
+import sys
+
+import numpy as np
+import yaml
+
+import jax
+
+from qpgesture_tpu.cli import main as cli_main
+from qpgesture_tpu.core.config import VQVAEConfig, load_config
+from qpgesture_tpu.core.schemas import (load_result, save_codes, save_wavvq)
+from qpgesture_tpu.models.vqvae import VQVAE, save_vqvae_native
+from qpgesture_tpu.motion.bvh import parse_bvh
+from qpgesture_tpu.motion.pipeline import MotionPipeline
+
+sys.path.insert(0, "tests")
+from fixtures import make_fixture  # noqa: E402
+from test_motion import make_bvh_text  # noqa: E402
+
+SMALL_YAML = {
+    "VQVAE": {"levels": 1, "downs_t": [3], "strides_t": [2],
+              "emb_width": 16, "l_bins": 64, "l_mu": 0.99, "commit": 0.02,
+              "hvqvae_multipliers": [1], "width": 16, "depth": 1,
+              "m_conv": 1.0, "dilation_growth_rate": 3, "sample_length": 30,
+              "use_bottleneck": True, "joint_channel": 9, "vel": 1, "acc": 1,
+              "vqvae_reverse_decoder_dilation": True, "input_dim": 135},
+    "n_poses": 240,
+    "data_mean": [0.0] * 135,
+    "data_std": [1.0] * 135,
+}
+
+
+def test_cli_match_and_decode(tmp_path, rng):
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    # --- write database artifacts -----------------------------------------
+    db_path = str(tmp_path / "train_txt.npz")
+    fx["bundle"].save(db_path)
+    codes_path = str(tmp_path / "train_code.npz")
+    save_codes(codes_path, fx["codes"])
+    sig_path = str(tmp_path / "code.npz")
+    fx["signature"].save(sig_path)
+    wavvq_path = str(tmp_path / "train_wavvq.npz")
+    save_wavvq(wavvq_path, fx["wavvq"])
+    test_wavvq_path = str(tmp_path / "wavvq_240.npz")
+    save_wavvq(test_wavvq_path, fx["test_wavvq"])
+    test_bundle_path = str(tmp_path / "test_txt.npz")
+    import dataclasses
+    test_bundle = dataclasses.replace(
+        fx["bundle"],
+        context=rng.randn(2, 30, 1, 384).astype(np.float32))
+    test_bundle.save(test_bundle_path)
+    out_path = str(tmp_path / "result.npz")
+
+    cli_main(["match",
+              "--train-database", db_path,
+              "--train-codebook", codes_path,
+              "--codebook-signature", sig_path,
+              "--train-wavvq", wavvq_path,
+              "--test-wavvq", test_wavvq_path,
+              "--test-data", test_bundle_path,
+              "--preset", "wavvq",
+              "--out", out_path])
+    result = load_result(out_path)
+    assert result.shape == (2, 30)
+    assert result.max() < 64
+
+    # --- decode through the CLI --------------------------------------------
+    cfg_path = str(tmp_path / "config.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(SMALL_YAML, f)
+    conf = load_config(cfg_path)
+    assert conf.vqvae.emb_width == 16
+
+    model = VQVAE(conf.vqvae)
+    params, cb = model.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+    cb = model.init_codebook_from_batch(
+        params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
+        jax.random.PRNGKey(1))
+    ckpt_path = str(tmp_path / "vqvae.msgpack")
+    save_vqvae_native(ckpt_path, params, cb)
+
+    text, _ = make_bvh_text(rng, n_frames=48, fps=120)
+    bvh = parse_bvh(text)
+    pipe = MotionPipeline(
+        target_joints=["Spine", "Spine1", "RightShoulder", "RightArm",
+                       "LeftShoulder", "LeftArm"], fps=60).fit(bvh)
+    # 135-dim decode needs a 15-joint pipeline; build a fake 15-joint
+    # selected-columns pipeline by repeating joints is overkill — instead
+    # decode with a 6-joint config: rewrite the result codes through a
+    # matching small-input model
+    small6 = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=64,
+                         input_dim=54, sample_length=30)
+    model6 = VQVAE(small6)
+    params6, cb6 = model6.init(jax.random.PRNGKey(2))
+    cb6 = model6.init_codebook_from_batch(
+        params6, jnp.asarray(rng.randn(2, 240, 54).astype(np.float32)),
+        jax.random.PRNGKey(3))
+    ckpt6 = str(tmp_path / "vqvae6.msgpack")
+    save_vqvae_native(ckpt6, params6, cb6)
+    yaml6 = dict(SMALL_YAML)
+    yaml6["VQVAE"] = dict(SMALL_YAML["VQVAE"], input_dim=54)
+    yaml6["data_mean"] = [0.0] * 54
+    yaml6["data_std"] = [1.0] * 54
+    cfg6_path = str(tmp_path / "config6.yml")
+    with open(cfg6_path, "w") as f:
+        yaml.safe_dump(yaml6, f)
+    pipe_path = str(tmp_path / "pipeline.json")
+    with open(pipe_path, "w") as f:
+        f.write(pipe.to_json())
+
+    out_dir = str(tmp_path / "render")
+    cli_main(["decode", "--result", out_path, "--checkpoint", ckpt6,
+              "--pipeline", pipe_path, "--config", cfg6_path,
+              "--out", out_dir, "--prefix", "clitest"])
+    bvh_out = parse_bvh(os.path.join(out_dir, "clitest_generated.bvh"))
+    assert bvh_out.values.shape[0] == 2 * 240
+
+
+def test_cli_test_audio(tmp_path, rng):
+    wav = rng.randn(16000 * 9).astype(np.float32) * 0.1
+    wav_path = str(tmp_path / "in.npz")
+    np.savez(wav_path, wav=wav)
+    out_path = str(tmp_path / "wavvq_240.npz")
+    cli_main(["test-audio", "--wav", wav_path, "--out", out_path])
+    windows = np.load(str(tmp_path / "wav_240.npz"))["wav"]
+    assert windows.shape == (2, 64000)
