@@ -1,0 +1,69 @@
+"""Native runtime tests: C++ Levenshtein vs the same C library the reference
+uses, record store round trip (native + python fallback), float parsing."""
+import numpy as np
+import pytest
+
+from qpgesture_tpu.utils import native
+
+
+def test_builds():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable")
+    assert lib is not None
+
+
+def test_levenshtein_native_vs_c_library(rng):
+    Levenshtein = pytest.importorskip("Levenshtein")
+    a = rng.randint(0, 640, size=(5, 11)).astype(np.int32)
+    b = rng.randint(0, 640, size=(9, 11)).astype(np.int32)
+    b[2] = a[1]
+    got = native.levenshtein_matrix_native(a, b)
+    for i in range(5):
+        for j in range(9):
+            sa = "".join(chr(int(x)) for x in a[i])
+            sb = "".join(chr(int(x)) for x in b[j])
+            assert got[i, j] == Levenshtein.distance(sa, sb)
+
+
+def test_parse_floats(rng):
+    vals = rng.randn(1000)
+    text = " ".join("%.6f" % v for v in vals)
+    out = native.parse_floats_native(text, 1000)
+    np.testing.assert_allclose(out, np.round(vals, 6), atol=1e-9)
+
+
+def test_record_store_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "store.qpg")
+    writer = native.RecordStore.create(path)
+    records = [rng.bytes(rng.randint(1, 5000)) for _ in range(20)]
+    for r in records:
+        writer.append(r)
+    assert writer.finalize() == 20
+    store = native.RecordStore.open(path)
+    assert len(store) == 20
+    for i, r in enumerate(records):
+        assert store[i] == r
+    store.close()
+
+
+def test_record_store_python_fallback(tmp_path, rng):
+    """The pure-python reader must read native-written stores and vice
+    versa (same on-disk format)."""
+    path = str(tmp_path / "store2.qpg")
+    writer = native._PyStoreWriter(path)
+    records = [bytes([i]) * (i + 1) for i in range(5)]
+    for r in records:
+        writer.append(r)
+    writer.finalize()
+    # python reader
+    store = native._PyStore(path)
+    for i, r in enumerate(records):
+        assert store[i] == r
+    store.close()
+    # native reader, if built
+    if native.get_lib() is not None:
+        store = native.RecordStore.open(path)
+        for i, r in enumerate(records):
+            assert store[i] == r
+        store.close()

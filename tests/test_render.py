@@ -114,6 +114,8 @@ def test_prosody_features(rng):
 
 def test_mel_bank_matches_librosa_if_available():
     librosa = pytest.importorskip("librosa")
+    if not hasattr(librosa, "filters"):
+        pytest.skip("librosa is a test stub (see test_audio_ops)")
     got = mel_bank_slaney(16000, 1024, 80, 80, 7600)
     want = librosa.filters.mel(sr=16000, n_fft=1024, n_mels=80, fmin=80,
                                fmax=7600)
