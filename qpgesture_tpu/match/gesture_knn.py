@@ -199,6 +199,55 @@ class GestureKNNEngine:
         return out[:, 1:1 + n_frames]
 
 
+def search_fake_motion_np(db: GestureKNNData, feat_test: np.ndarray,
+                          desired_k: int = 0) -> np.ndarray:
+    """Audio-only search (search_fake_motion, GestureKNN.py:214-296), used
+    to synthesize mismatched motion for ResyncNet training: per step, rank
+    database sequences by the cosine distance between the step's audio
+    feature and each sequence's best frame; no pose chaining."""
+    n_aud, step = db.n_aud, db.step_sz
+    K, L = db.feat.shape[:2]
+    n_frames = feat_test.shape[1]
+    pred = np.zeros((db.motion.shape[2], n_frames), np.float32)
+    j = 0
+    while j < n_frames:
+        q = feat_test[:, j]
+        nq = np.linalg.norm(q) or 1.0
+        pos_dist = np.full(K, np.inf, np.float32)
+        frame_sel = np.zeros(K, np.int64)
+        for k in range(K):
+            if db.control_mask[k].sum() == 0:
+                continue
+            cand = db.feat[k, :, :n_aud]
+            nc = np.linalg.norm(cand, axis=1)
+            nc = np.where(nc > 0, nc, 1.0)
+            d = 1.0 - (cand @ (q / nq)) / nc
+            ok = _valid_frames(d, db.control_mask[k], step)
+            if not ok.any():
+                continue
+            dm = np.where(ok, d, np.inf)
+            f = int(np.argmin(dm))
+            pos_dist[k] = dm[f]
+            frame_sel[k] = f
+        order = np.argsort(rank_np(pos_dist), kind="stable")
+        sel = int(order[min(desired_k, K - 1)])
+        f = frame_sel[sel]
+        blk = db.motion[sel, f:f + step].T
+        w = min(blk.shape[1], n_frames - j)
+        pred[:, j:j + w] = blk[:, :w]
+        j += step
+    return pred
+
+
+def fake_training_pairs(db: GestureKNNData, feat_tests: np.ndarray,
+                        rng: np.random.RandomState) -> np.ndarray:
+    """Stochastic-k fake motion for a batch of test features
+    (predict_gesture_from_audio fake path, GestureKNN.py:330-335)."""
+    ks = desired_k_distribution(feat_tests.shape[0], rng)
+    return np.stack([search_fake_motion_np(db, feat_tests[i], int(ks[i]))
+                     for i in range(feat_tests.shape[0])])
+
+
 def desired_k_distribution(n: int, rng: np.random.RandomState) -> np.ndarray:
     """The stochastic k sampling of predict_gesture_from_audio
     (GestureKNN.py:330-331): P(k=0)=0.5, remainder uniform over 1..14."""

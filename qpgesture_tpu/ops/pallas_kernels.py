@@ -1,0 +1,83 @@
+"""Pallas TPU kernels for the matching hot path.
+
+`levenshtein_matrix_pallas` — the batched fixed-length edit-distance DP that
+replaces the reference's per-pair python-Levenshtein C calls in the inner
+search loop (GestureKNN.py:666-691). Layout: the database-string axis is the
+vectorized lane dimension (tiles of 128 strings live in VMEM); the 11x11 DP
+recurrence runs fully unrolled on the VPU with rows of the DP table held as
+(L+1, 128) registers; queries iterate in an outer unrolled loop per tile, so
+one kernel invocation computes a full (Q, 128) block of distances without
+touching HBM between cells.
+
+On non-TPU backends the kernel runs in interpreter mode (tests), and
+ops.levenshtein.levenshtein_matrix provides the pure-XLA fallback used by
+default in the engine (already ~0.2 ms for 1.3M pairs on a v5e; the Pallas
+path exists for fusing with downstream reductions and for larger L).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _lev_kernel(q_ref, db_ref, out_ref, *, L: int, Q: int):
+    """q_ref: (Q, L) int32 in VMEM; db_ref: (LANES, L) tile; out: (Q, LANES).
+
+    DP rows are (1, LANES) vectors; the j recurrence is sequential (cur[j]
+    needs cur[j-1]) but every step is one VPU op over the 128-string tile.
+    Queries run in a fori_loop so compile time is O(L^2), not O(Q*L^2).
+    """
+    db = db_ref[:, :]                    # (LANES, L)
+
+    def per_query(q, _):
+        qsyms = [q_ref[q, i] for i in range(L)]
+        prev = [jnp.full((LANES,), j, dtype=jnp.int32) for j in range(L + 1)]
+        for i in range(1, L + 1):        # unrolled DP (L is 11)
+            a_i = qsyms[i - 1]
+            cur = [jnp.full((LANES,), i, dtype=jnp.int32)]
+            for j in range(1, L + 1):
+                cost = jnp.where(db[:, j - 1] == a_i, 0, 1).astype(jnp.int32)
+                best = jnp.minimum(prev[j] + 1, cur[j - 1] + 1)
+                cur.append(jnp.minimum(best, prev[j - 1] + cost))
+            prev = cur
+        out_ref[q, :] = prev[L]
+        return 0
+
+    jax.lax.fori_loop(0, Q, per_query, 0)
+
+
+def levenshtein_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                              interpret: Optional[bool] = None
+                              ) -> jnp.ndarray:
+    """(Q, L) x (N, L) int32 code strings -> (Q, N) int32 edit distances."""
+    Q, L = a.shape
+    N = b.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    n_tiles = pl.cdiv(N, LANES)
+    pad_n = n_tiles * LANES - N
+    b_p = jnp.pad(b, ((0, pad_n), (0, 0)))
+
+    out = pl.pallas_call(
+        partial(_lev_kernel, L=L, Q=Q),
+        out_shape=jax.ShapeDtypeStruct((Q, n_tiles * LANES), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Q, L), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, L), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, LANES), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a.astype(jnp.int32), b_p.astype(jnp.int32))
+    return out[:, :N]
