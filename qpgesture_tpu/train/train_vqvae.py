@@ -151,6 +151,12 @@ class VQVAETrainer:
             for bi, batch in enumerate(train_batches):
                 rng, sub = jax.random.split(rng)
                 state, loss, metrics = self.train_step(state, batch, sub)
+                if not np.isfinite(float(loss)):
+                    # failure detection (absent in the reference, SURVEY §5):
+                    # stop on divergence instead of silently writing NaNs
+                    # into checkpoints; the last good checkpoint remains.
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} step {bi}")
                 if bi % log_every == 0:
                     logging.info("epoch %d step %d loss %.5f", epoch, bi,
                                  float(loss))
