@@ -29,22 +29,25 @@ LANES = 128
 
 
 def _lev_kernel(q_ref, db_ref, out_ref, *, L: int, Q: int):
-    """q_ref: (Q, L) int32 in VMEM; db_ref: (LANES, L) tile; out: (Q, LANES).
+    """q_ref: (Q, L) int32 in SMEM; db_ref: (L, TILE) lane-major tile in
+    VMEM; out: (Q, TILE).
 
-    DP rows are (1, LANES) vectors; the j recurrence is sequential (cur[j]
-    needs cur[j-1]) but every step is one VPU op over the 128-string tile.
-    Queries run in a fori_loop so compile time is O(L^2), not O(Q*L^2).
+    DP rows are (TILE,) lane vectors; the j recurrence is sequential
+    (cur[j] needs cur[j-1]) but every step is one VPU op over the 128-string
+    tile. Queries run in a fori_loop so compile time is O(L^2), not
+    O(Q*L^2); query symbols are scalar SMEM reads.
     """
-    db = db_ref[:, :]                    # (LANES, L)
+    tile = db_ref.shape[1]
+    db_rows = [db_ref[j, :] for j in range(L)]     # each (TILE,)
 
     def per_query(q, _):
-        qsyms = [q_ref[q, i] for i in range(L)]
-        prev = [jnp.full((LANES,), j, dtype=jnp.int32) for j in range(L + 1)]
+        prev = [jnp.full((tile,), j, dtype=jnp.int32) for j in range(L + 1)]
         for i in range(1, L + 1):        # unrolled DP (L is 11)
-            a_i = qsyms[i - 1]
-            cur = [jnp.full((LANES,), i, dtype=jnp.int32)]
+            a_i = q_ref[q, i - 1]
+            cur = [jnp.full((tile,), i, dtype=jnp.int32)]
             for j in range(1, L + 1):
-                cost = jnp.where(db[:, j - 1] == a_i, 0, 1).astype(jnp.int32)
+                cost = jnp.where(db_rows[j - 1] == a_i, 0, 1
+                                 ).astype(jnp.int32)
                 best = jnp.minimum(prev[j] + 1, cur[j - 1] + 1)
                 cur.append(jnp.minimum(best, prev[j - 1] + cost))
             prev = cur
@@ -55,29 +58,29 @@ def _lev_kernel(q_ref, db_ref, out_ref, *, L: int, Q: int):
 
 
 def levenshtein_matrix_pallas(a: jnp.ndarray, b: jnp.ndarray,
-                              interpret: Optional[bool] = None
-                              ) -> jnp.ndarray:
+                              interpret: Optional[bool] = None,
+                              tile: int = 512) -> jnp.ndarray:
     """(Q, L) x (N, L) int32 code strings -> (Q, N) int32 edit distances."""
     Q, L = a.shape
     N = b.shape[0]
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
-    n_tiles = pl.cdiv(N, LANES)
-    pad_n = n_tiles * LANES - N
-    b_p = jnp.pad(b, ((0, pad_n), (0, 0)))
+    n_tiles = pl.cdiv(N, tile)
+    pad_n = n_tiles * tile - N
+    b_t = jnp.pad(b.T, ((0, 0), (0, pad_n)))       # (L, n_tiles*tile)
 
     out = pl.pallas_call(
         partial(_lev_kernel, L=L, Q=Q),
-        out_shape=jax.ShapeDtypeStruct((Q, n_tiles * LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, n_tiles * tile), jnp.int32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((Q, L), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, L), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Q, LANES), lambda t: (0, t),
+        out_specs=pl.BlockSpec((Q, tile), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a.astype(jnp.int32), b_p.astype(jnp.int32))
+    )(a.astype(jnp.int32), b_t.astype(jnp.int32))
     return out[:, :N]
