@@ -69,10 +69,13 @@ def main():
     decode = jax.jit(lambda c: model.decode(params, cb, c))
 
     def run():
-        res = engine.predict(test_audio, test_ctx, init_code=7,
-                             init_phase=np.zeros((8, 16), np.float32))
-        poses = decode(jnp.asarray(res.codes))
-        return res.codes, np.asarray(poses)
+        # whole serving path on-device; one upload, one download per clip
+        codes_d, _, _, _ = engine.predict_device(
+            test_audio, test_ctx, init_code=7,
+            init_phase=np.zeros((8, 16), np.float32))
+        poses_d = decode(codes_d)
+        codes, poses = jax.device_get((codes_d, poses_d))
+        return codes, poses
 
     # warmup (compile)
     codes_out, poses = run()

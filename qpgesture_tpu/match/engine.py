@@ -386,11 +386,16 @@ class CodeKNNEngine:
             phase=jnp.asarray(db.phase) if db.phase is not None else None,
             amp=jnp.asarray(db.amp) if db.amp is not None else None)
 
-    def predict(self, test_audio: Optional[np.ndarray],
-                test_context: Optional[np.ndarray] = None,
-                init_code: Optional[int] = None,
-                init_phase: Optional[np.ndarray] = None,
-                rng: Optional[np.random.RandomState] = None) -> OracleResult:
+    def predict_device(self, test_audio: Optional[np.ndarray],
+                       test_context: Optional[np.ndarray] = None,
+                       init_code: Optional[int] = None,
+                       init_phase: Optional[np.ndarray] = None,
+                       rng: Optional[np.random.RandomState] = None):
+        """Device-resident variant: returns (codes (W, 30) on device,
+        phases, votes) without fetching to host — inputs ship in one
+        device_put so a clip costs a single host->device round trip. Chain
+        directly into the VQ-VAE decode to keep the whole serving path on
+        chip."""
         cfg = self.cfg
         rng = rng or np.random.RandomState(cfg.seed)
         if init_code is None:
@@ -399,30 +404,44 @@ class CodeKNNEngine:
             if init_phase is None:
                 init_phase = got_phase
 
-        geom = self.db.geom
         W = (test_audio if test_audio is not None else test_context).shape[0]
         S = (test_audio if test_audio is not None else test_context).shape[1]
-        rand_bits = None
+        rand_np = None
         if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
-            rand_bits = jnp.asarray(
-                (rng.rand(W * S) > 0.5).astype(np.int32))
+            rand_np = (rng.rand(W * S) > 0.5).astype(np.int32)
+
+        # one batched transfer for every input
+        host_inputs = (
+            test_audio if cfg.use_aud else None,
+            test_context if cfg.use_txt else None,
+            np.asarray(init_code),
+            np.asarray(init_phase, np.float32) if init_phase is not None
+            else np.zeros((8, 16), np.float32),
+            rand_np)
+        ta, tc, ic, ip, rb = jax.device_put(host_inputs)
 
         blocks, phases, votes = _predict_impl(
-            cfg, S, self.dev, self.devdb,
-            jnp.asarray(test_audio) if cfg.use_aud else None,
-            jnp.asarray(test_context) if cfg.use_txt else None,
-            jnp.asarray(init_code),
-            jnp.asarray(init_phase) if init_phase is not None
-            else jnp.zeros((8, 16), jnp.float32),
-            rand_bits)
-        blocks = np.asarray(blocks).reshape(W, S * cfg.step_sz)
-        codes = blocks[:, :cfg.num_frames_code].astype(np.int32)
+            cfg, S, self.dev, self.devdb, ta, tc, ic, ip, rb)
+        codes = blocks.reshape(W, S * cfg.step_sz)[:, :cfg.num_frames_code]
+        return codes.astype(jnp.int32), phases, votes, (W, S)
+
+    def predict(self, test_audio: Optional[np.ndarray],
+                test_context: Optional[np.ndarray] = None,
+                init_code: Optional[int] = None,
+                init_phase: Optional[np.ndarray] = None,
+                rng: Optional[np.random.RandomState] = None) -> OracleResult:
+        cfg = self.cfg
+        codes_d, phases_d, votes_d, (W, S) = self.predict_device(
+            test_audio, test_context, init_code, init_phase, rng)
+        # one batched fetch for every output
+        codes, phases, votes = jax.device_get((codes_d, phases_d, votes_d))
         phases_np = None
         if cfg.use_phase:
             phases_np = np.asarray(phases).reshape(W, S, 8, 16)[:, -1]
         votes_np = np.asarray(votes).reshape(W, S) \
             if (cfg.use_phase and cfg.use_aud and cfg.use_txt) else None
-        return OracleResult(codes=codes, phases=phases_np, votes=votes_np)
+        return OracleResult(codes=np.asarray(codes, np.int32),
+                            phases=phases_np, votes=votes_np)
 
 
 # Make MatchConfig hashable-as-static for jax.jit static_argnames.
