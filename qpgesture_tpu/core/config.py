@@ -39,6 +39,9 @@ class VQVAEConfig:
     reg: float = 0.0
     vqvae_reverse_decoder_dilation: bool = True
     input_dim: int = C.POSE_DIM
+    # "highest" = true f32 (checkpoint parity); "default" = bf16 multiplies
+    # with f32 accumulate (TPU training speed point).
+    conv_precision: str = "highest"
 
     @property
     def hop_length(self) -> int:

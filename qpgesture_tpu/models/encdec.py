@@ -19,6 +19,16 @@ from flax import linen as nn
 
 from ..core.config import VQVAEConfig
 
+# Conv precision: "highest" = true f32 on the MXU (checkpoint parity,
+# quantizer correctness); "default" = bf16 multiplications with f32
+# accumulate (the standard TPU training speed point). Select per-model via
+# VQVAEConfig.conv_precision.
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 class Conv1dTorch(nn.Module):
     """Conv1d with torch semantics on NTC data: explicit symmetric padding,
@@ -28,6 +38,7 @@ class Conv1dTorch(nn.Module):
     stride: int = 1
     padding: int = 0
     dilation: int = 1
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -40,7 +51,7 @@ class Conv1dTorch(nn.Module):
             padding=((self.padding, self.padding),),
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=PRECISIONS[self.precision])
         return y + bias
 
 
@@ -55,6 +66,7 @@ class ConvTranspose1dTorch(nn.Module):
     kernel_size: int
     stride: int = 2
     padding: int = 1
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +80,7 @@ class ConvTranspose1dTorch(nn.Module):
             padding=((k - 1 - p, k - 1 - p),),
             lhs_dilation=(s,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=PRECISIONS[self.precision])
         return y + bias
 
 
@@ -79,14 +91,16 @@ class ResConv1DBlock(nn.Module):
     n_state: int
     dilation: int = 1
     res_scale: float = 1.0
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
         h = Conv1dTorch(self.n_state, 3, 1, self.dilation, self.dilation,
-                        name="conv1")(h)
+                        precision=self.precision, name="conv1")(h)
         h = nn.relu(h)
-        h = Conv1dTorch(self.n_in, 1, 1, 0, name="conv2")(h)
+        h = Conv1dTorch(self.n_in, 1, 1, 0, precision=self.precision,
+                        name="conv2")(h)
         return x + self.res_scale * h
 
 
@@ -100,6 +114,7 @@ class Resnet1D(nn.Module):
     dilation_cycle: int | None = None
     reverse_dilation: bool = False
     res_scale: bool = False
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -115,7 +130,8 @@ class Resnet1D(nn.Module):
             x = ResConv1DBlock(
                 self.n_in, int(self.m_conv * self.n_in),
                 dilation=self.dilation_growth_rate ** get_depth(depth),
-                res_scale=scale, name=f"block{i}")(x)
+                res_scale=scale, precision=self.precision,
+                name=f"block{i}")(x)
         return x
 
 
@@ -129,17 +145,21 @@ class EncoderConvBlock(nn.Module):
     m_conv: float
     dilation_growth_rate: int = 1
     dilation_cycle: int | None = None
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
         filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
         for i in range(self.down_t):
             x = Conv1dTorch(self.width, filter_t, self.stride_t, pad_t,
+                            precision=self.precision,
                             name=f"down{i}_conv")(x)
             x = Resnet1D(self.width, self.depth, self.m_conv,
                          self.dilation_growth_rate, self.dilation_cycle,
+                         precision=self.precision,
                          name=f"down{i}_resnet")(x)
-        x = Conv1dTorch(self.output_emb_width, 3, 1, 1, name="proj")(x)
+        x = Conv1dTorch(self.output_emb_width, 3, 1, 1,
+                        precision=self.precision, name="proj")(x)
         return x
 
 
@@ -154,19 +174,23 @@ class DecoderConvBlock(nn.Module):
     dilation_growth_rate: int = 1
     dilation_cycle: int | None = None
     reverse_decoder_dilation: bool = False
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x):
         filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
-        x = Conv1dTorch(self.width, 3, 1, 1, name="proj")(x)
+        x = Conv1dTorch(self.width, 3, 1, 1, precision=self.precision,
+                        name="proj")(x)
         for i in range(self.down_t):
             x = Resnet1D(self.width, self.depth, self.m_conv,
                          self.dilation_growth_rate, self.dilation_cycle,
                          reverse_dilation=self.reverse_decoder_dilation,
+                         precision=self.precision,
                          name=f"up{i}_resnet")(x)
             out_ch = self.input_emb_width if i == self.down_t - 1 \
                 else self.width
             x = ConvTranspose1dTorch(out_ch, filter_t, self.stride_t, pad_t,
+                                     precision=self.precision,
                                      name=f"up{i}_convt")(x)
         return x
 
@@ -189,6 +213,7 @@ class Encoder(nn.Module):
                 m_conv=cfg.m_conv,
                 dilation_growth_rate=cfg.dilation_growth_rate,
                 dilation_cycle=cfg.dilation_cycle,
+                precision=cfg.conv_precision,
                 name=f"level{level}")(x)
             xs.append(x)
         return xs
@@ -209,6 +234,8 @@ class Decoder(nn.Module):
             dilation_growth_rate=cfg.dilation_growth_rate,
             dilation_cycle=cfg.dilation_cycle,
             reverse_decoder_dilation=cfg.vqvae_reverse_decoder_dilation,
+            precision=cfg.conv_precision,
             name="level0")(x)
-        x = Conv1dTorch(cfg.input_dim, 3, 1, 1, name="out")(x)
+        x = Conv1dTorch(cfg.input_dim, 3, 1, 1,
+                        precision=cfg.conv_precision, name="out")(x)
         return x
