@@ -175,6 +175,88 @@ def cmd_train_vqvae(args):
     print(f"best val: {best}")
 
 
+def cmd_phase(args):
+    """PAE.py --stage inference equivalent: Rotation/*.npz -> Phase/*.npz
+    with dense (T, 4, 8) phases."""
+    import glob
+    import os
+
+    from .core.config import load_config
+    from .models.pae import PAE, PhaseExtractor
+    from .models.torch_convert import load_pae_checkpoint
+
+    conf = load_config(args.config)
+    model = PAE(conf.pae)
+    variables = load_pae_checkpoint(args.checkpoint,
+                                    conf.pae.phase_channels)
+    extractor = PhaseExtractor(model, variables)
+    mean = np.asarray(conf.data_mean).squeeze()
+    std = np.asarray(conf.data_std).squeeze()
+    os.makedirs(args.out, exist_ok=True)
+    for path in sorted(glob.glob(os.path.join(args.rotation_dir, "*.npz"))):
+        name = os.path.basename(path)
+        dst = os.path.join(args.out, name)
+        if os.path.exists(dst):
+            continue
+        pose = np.load(path)["upper"]
+        phase = extractor.pose_to_phase(pose, mean, std)
+        np.savez_compressed(dst, phase=phase)
+        print(f"{name}: phase {phase.shape}")
+
+
+def cmd_train_pae(args):
+    import jax
+    from .core.config import load_config
+    from .train.data import WindowedDataset
+    from .train.train_pae import PAETrainer
+
+    conf = load_config(args.config)
+    ds = WindowedDataset.load(args.data)
+    if conf.data_mean is not None:
+        ds.data_mean = np.asarray(conf.data_mean)
+        ds.data_std = np.asarray(conf.data_std)
+    batch_size = max(args.batch_size, 8)
+    batches = list(ds.batches(batch_size, seed=0))
+    trainer = PAETrainer(conf.pae, steps_per_epoch=max(len(batches), 1))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    epochs = args.epochs or conf.pae.epochs
+    for epoch in range(epochs):
+        for batch in batches:
+            state, loss = trainer.train_step(state, batch)
+        print(f"epoch {epoch}: loss {float(loss):.5f}")
+        if args.out and (epoch + 1) % conf.pae.save_per_epochs == 0:
+            from .train.checkpoints import save_checkpoint
+            save_checkpoint(args.out, state, name=f"{epoch:03d}")
+    if args.out:
+        from .train.checkpoints import save_checkpoint
+        save_checkpoint(args.out, state, name="latest")
+
+
+def cmd_train_end2end(args):
+    import jax
+    from .core.config import load_config
+    from .train.data import WindowedDataset
+    from .train.train_end2end import End2EndTrainer
+
+    conf = load_config(args.config)
+    ds = WindowedDataset.load(args.data)
+    assert ds.audio is not None and ds.codes is not None, \
+        "end2end training needs audio + codes in the dataset"
+    trainer = End2EndTrainer(conf.end2end)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    epochs = args.epochs or conf.end2end.epochs
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(epochs):
+        for wav, codes in ds.batches(args.batch_size, seed=epoch,
+                                     include=("audio", "codes")):
+            rng, sub = jax.random.split(rng)
+            state, loss = trainer.train_step(state, wav, codes, sub)
+        print(f"epoch {epoch}: loss {float(loss):.5f}")
+    if args.out:
+        from .train.checkpoints import save_checkpoint
+        save_checkpoint(args.out, state, name="latest")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="qpgesture_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -229,6 +311,29 @@ def main(argv=None):
     tv.add_argument("--out", default="./output/train_codebook")
     tv.add_argument("--epochs", type=int)
     tv.set_defaults(fn=cmd_train_vqvae)
+
+    ph = sub.add_parser("phase", help="extract PAE phases for Rotation/*.npz")
+    ph.add_argument("--checkpoint", required=True)
+    ph.add_argument("--config", required=True)
+    ph.add_argument("--rotation-dir", required=True)
+    ph.add_argument("--out", required=True)
+    ph.set_defaults(fn=cmd_phase)
+
+    tp = sub.add_parser("train-pae", help="train the periodic autoencoder")
+    tp.add_argument("--config", required=True)
+    tp.add_argument("--data", required=True)
+    tp.add_argument("--out")
+    tp.add_argument("--epochs", type=int)
+    tp.add_argument("--batch-size", type=int, default=32)
+    tp.set_defaults(fn=cmd_train_pae)
+
+    te = sub.add_parser("train-end2end", help="train the GRU baseline")
+    te.add_argument("--config", required=True)
+    te.add_argument("--data", required=True)
+    te.add_argument("--out")
+    te.add_argument("--epochs", type=int)
+    te.add_argument("--batch-size", type=int, default=32)
+    te.set_defaults(fn=cmd_train_end2end)
 
     args = p.parse_args(argv)
     args.fn(args)
