@@ -138,6 +138,34 @@ class WindowedDataset:
                    data_mean=mean, data_std=std)
 
 
+def device_prefetch(batches: Iterator, size: int = 2) -> Iterator:
+    """Overlap host->device transfer with compute: keep `size` batches in
+    flight on device. Essential when the host link is slow (the batch upload
+    otherwise serializes with the train step)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+    it = iter(batches)
+
+    def put(batch):
+        return jax.device_put(batch)
+
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        batch = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield batch
+
+
 def dataset_stats(clips: List[dict]) -> Tuple[np.ndarray, np.ndarray]:
     """Per-channel mean/std over all frames of all clips — the numbers the
     reference prints for pasting into YAML (beat_data_to_lmdb.py:255-262)."""

@@ -134,6 +134,8 @@ class VQVAETrainer:
         """Simple epoch loop over in-memory batch iterables; mirrors the
         best-validation selection of train.py:94-117."""
         import logging
+
+        from .data import device_prefetch
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         best = (float("inf"), 0)
         epochs = epochs or self.cfg.epochs
@@ -148,7 +150,7 @@ class VQVAETrainer:
                         save_checkpoint(checkpoint_dir, state, name="best")
                 logging.info("epoch %d val_err %.5f (best %.5f @ %d)",
                              epoch, val_err, best[0], best[1])
-            for bi, batch in enumerate(train_batches):
+            for bi, batch in enumerate(device_prefetch(train_batches)):
                 rng, sub = jax.random.split(rng)
                 state, loss, metrics = self.train_step(state, batch, sub)
                 if not np.isfinite(float(loss)):

@@ -113,3 +113,12 @@ def test_windowed_dataset_batches(rng):
     # deterministic under the same seed
     batches2 = list(ds.batches(8, seed=0))
     np.testing.assert_array_equal(batches[0], batches2[0])
+
+
+def test_device_prefetch(rng):
+    from qpgesture_tpu.train.data import device_prefetch
+    batches = [rng.randn(4, 8).astype(np.float32) for _ in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for a, b in zip(out, batches):
+        np.testing.assert_array_equal(np.asarray(a), b)
