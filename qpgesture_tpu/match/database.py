@@ -50,6 +50,8 @@ class MatchDatabase:
     aud_codes: np.ndarray           # (J, B) int32
     aud_blocks: np.ndarray          # (J, B, step_sz) int32 continuation codes
     aud_frames: np.ndarray          # (B,) int64 db frame index (aux k)
+    # (512,) f32 double-argsort of freq_dist, reference tie order
+    freq_rank: Optional[np.ndarray] = None
     aud_feat: Optional[np.ndarray] = None     # (J, B, D) f32 cosine modes
     aud_strings: Optional[np.ndarray] = None  # (J, B, L) int32 wavvq mode
     # Text candidates:
@@ -81,6 +83,14 @@ def code_frequency_prior(train_codes: np.ndarray,
     total = counts.sum()
     freq = np.where(counts > 0, 1.0 - counts / max(total, 1), 1.0)
     return freq.astype(np.float32)
+
+
+def frequency_rank(freq_dist: np.ndarray) -> np.ndarray:
+    """The frequency prior's double-argsort rank, computed ONCE per database
+    with NumPy's *default* (unstable) argsort so tie order matches the
+    reference exactly (GestureKNN.py:544 — counts collide heavily, so this
+    is the one rank where quicksort tie order is observable)."""
+    return np.argsort(np.argsort(freq_dist)).astype(np.float32)
 
 
 def signature_distance_table(signature: np.ndarray) -> np.ndarray:
@@ -183,6 +193,8 @@ def stage_database(cfg: MatchConfig,
         signature=signature.signature.astype(np.float32),
         sig_dist=signature_distance_table(signature.signature),
         freq_dist=code_frequency_prior(code_train, cfg.codebook_size),
+        freq_rank=frequency_rank(
+            code_frequency_prior(code_train, cfg.codebook_size)),
         aud_codes=aud_codes, aud_blocks=aud_blocks,
         aud_frames=geom.block_frame_idx,
         aud_feat=aud_feat, aud_strings=aud_strings,

@@ -377,12 +377,11 @@ class CodeKNNEngine:
         self.cfg = cfg
         self.db = db
         self.devdb = device_match_db(cfg, db)
+        freq_rank = db.freq_rank if db.freq_rank is not None else \
+            np.argsort(np.argsort(db.freq_dist)).astype(np.float32)
         self.dev = DeviceDatabase(
             sig_dist=jnp.asarray(db.sig_dist),
-            freq_rank=(jnp.asarray(
-                np.argsort(np.argsort(db.freq_dist, kind="stable"),
-                           kind="stable")).astype(jnp.float32)
-                       * cfg.freq_weight),
+            freq_rank=jnp.asarray(freq_rank, jnp.float32) * cfg.freq_weight,
             phase=jnp.asarray(db.phase) if db.phase is not None else None,
             amp=jnp.asarray(db.amp) if db.amp is not None else None)
 

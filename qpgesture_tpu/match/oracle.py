@@ -145,11 +145,27 @@ class OracleResult:
 
 class CodeKNNOracle:
     """Sequential window-by-window search with seed chaining
-    (predict_code_from_audio, GestureKNN.py:724-813)."""
+    (predict_code_from_audio, GestureKNN.py:724-813).
 
-    def __init__(self, db: MatchDatabase):
+    tie_kind: 'stable' (default, index-ordered ties — what the device
+    engine implements) or 'reference' (NumPy's default unstable introsort,
+    bit-matching the reference binary — integer Levenshtein distances tie
+    heavily, making the difference observable in wavvq mode).
+    """
+
+    def __init__(self, db: MatchDatabase, tie_kind: str = "stable"):
         self.db = db
         self.cfg = db.cfg
+        self.tie_kind = tie_kind
+
+    def _rank(self, x: np.ndarray) -> np.ndarray:
+        if self.tie_kind == "reference":
+            return np.asarray(x).argsort().argsort()
+        return rank_np(x)
+
+    def _argsort(self, x: np.ndarray) -> np.ndarray:
+        kind = None if self.tie_kind == "reference" else "stable"
+        return np.argsort(x, kind=kind)
 
     def init_code_phase(self, rng: np.random.RandomState):
         """Random initial seed (init_code_phase, GestureKNN.py:462-473).
@@ -179,38 +195,39 @@ class CodeKNNOracle:
         result: List[int] = [seed_code]
         result_phase = [seed_phase] if cfg.use_phase else []
         votes: List[int] = []
-        freq_rank = rank_np(db.freq_dist).astype(np.float32)
+        freq_rank = db.freq_rank if db.freq_rank is not None \
+            else rank_np(db.freq_dist).astype(np.float32)
 
         for s in range(n_steps):
             prev = result[-1]
-            pos_score = rank_np(db.sig_dist[prev]).astype(np.float32)
+            pos_score = self._rank(db.sig_dist[prev]).astype(np.float32)
             if cfg.use_freq:  # hard-coded True in the reference (:542)
                 pos_score = pos_score + freq_rank * cfg.freq_weight
 
             aud = aud_tables[s] if cfg.use_aud else None
             txt = txt_tables[s] if cfg.use_txt else None
             if txt is not None:
-                txt_score = rank_np(txt.dist)
+                txt_score = self._rank(txt.dist)
                 combined_txt = pos_score + txt_score
             if aud is not None:
-                aud_score = rank_np(aud.dist)
+                aud_score = self._rank(aud.dist)
                 combined_aud = pos_score + aud_score
 
             if not cfg.use_phase and cfg.use_txt and cfg.use_aud:
                 combined = pos_score + aud_score + txt_score
-                c = kth_smallest_index_np(combined, cfg.desired_k)
+                c = int(self._argsort(combined)[cfg.desired_k])
                 table = aud if rand_bits[s] else txt
                 result.extend(int(x) for x in table.block[c])
             elif not cfg.use_phase and cfg.use_aud:
-                c = kth_smallest_index_np(combined_aud, cfg.desired_k)
+                c = int(self._argsort(combined_aud)[cfg.desired_k])
                 result.extend(int(x) for x in aud.block[c])
             elif not cfg.use_phase and cfg.use_txt:
                 # reference bug fixed: txt-only emits txt blocks (:591 uses
                 # aud_index_cands, which is unbound when use_aud=False)
-                c = kth_smallest_index_np(combined_txt, cfg.desired_k)
+                c = int(self._argsort(combined_txt)[cfg.desired_k])
                 result.extend(int(x) for x in txt.block[c])
             elif cfg.use_phase and cfg.use_aud and not cfg.use_txt:
-                order = np.argsort(combined_aud, kind="stable")[:2]
+                order = self._argsort(combined_aud)[:2]
                 dists, tails = [], []
                 for c in order:
                     head, tail = phase_window(db, aud.seq[c], aud.frame[c])
@@ -220,7 +237,7 @@ class CodeKNNOracle:
                 result.extend(int(x) for x in aud.block[order[fi]])
                 result_phase.append(tails[fi])
             elif cfg.use_phase and not cfg.use_aud and cfg.use_txt:
-                order = np.argsort(combined_txt, kind="stable")[:2]
+                order = self._argsort(combined_txt)[:2]
                 dists, tails = [], []
                 for c in order:
                     head, tail = phase_window(db, txt.seq[c], txt.frame[c])
@@ -232,8 +249,8 @@ class CodeKNNOracle:
             elif cfg.use_phase and cfg.use_aud and cfg.use_txt:
                 # shipped path: top-1 audio vs top-1 text, phase breaks the
                 # tie (GestureKNN.py:627-657)
-                ca = kth_smallest_index_np(combined_aud, 0)
-                ct = kth_smallest_index_np(combined_txt, 0)
+                ca = int(self._argsort(combined_aud)[0])
+                ct = int(self._argsort(combined_txt)[0])
                 head_a, tail_a = phase_window(db, aud.seq[ca], aud.frame[ca])
                 head_t, tail_t = phase_window(db, txt.seq[ct], txt.frame[ct])
                 d_a = phase_continuity(result_phase[-1], head_a)
