@@ -265,17 +265,32 @@ def _phase_continuity(prev, head):
 def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
                tables: DeviceTables, init_code: jnp.ndarray,
                init_phase: Optional[jnp.ndarray],
-               rand_bits: Optional[jnp.ndarray]):
-    """Phase 2: sequential rank fusion + phase re-rank + seed chain."""
+               rand_bits: Optional[jnp.ndarray],
+               reset_mask: Optional[jnp.ndarray] = None,
+               reset_code: Optional[jnp.ndarray] = None,
+               reset_phase: Optional[jnp.ndarray] = None):
+    """Phase 2: sequential rank fusion + phase re-rank + seed chain.
+
+    reset_mask/code/phase (each length Q) re-seed the chain mid-scan — the
+    batched-serving path where several independent clips run in one program
+    (each clip's first step resets to its own init instead of chaining from
+    the previous clip).
+    """
     Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
     last_step = (jnp.arange(Q) % n_steps) == (n_steps - 1)
+    if reset_mask is None:
+        reset_mask = jnp.zeros((Q,), bool)
+        reset_code = jnp.zeros((Q,), jnp.int32)
+        reset_phase = jnp.zeros((Q, 8, 16), jnp.float32)
 
     use_phase, use_aud, use_txt = cfg.use_phase, cfg.use_aud, cfg.use_txt
 
     def step(carry, xs):
         prev_code, prev_phase = carry
         (a_rank, a_blk, a_seq, a_start, t_rank, t_blk, t_seq, t_start,
-         is_last, rbit) = xs
+         is_last, rbit, do_reset, r_code, r_phase) = xs
+        prev_code = jnp.where(do_reset, r_code, prev_code)
+        prev_phase = jnp.where(do_reset, r_phase, prev_phase)
 
         pos_rank = rank_jnp(dev.sig_dist[prev_code]).astype(jnp.float32)
         base = pos_rank + dev.freq_rank if cfg.use_freq else pos_rank
@@ -350,6 +365,9 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         tables.txt_start if use_txt else zeros_i,
         last_step,
         rand_bits if rand_bits is not None else zeros_i,
+        reset_mask,
+        reset_code,
+        reset_phase,
     )
     if init_phase is None:
         init_phase = jnp.zeros((8, 16), dtype=jnp.float32)
@@ -361,11 +379,12 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def _predict_impl(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
                   devdb: DeviceMatchDB, test_audio, test_context,
-                  init_code, init_phase, rand_bits):
+                  init_code, init_phase, rand_bits,
+                  reset_mask=None, reset_code=None, reset_phase=None):
     """The whole clip as ONE device program: candidate tables + fused scan."""
     tables = _tables_impl(cfg, devdb, test_audio, test_context)
     return _fuse_scan(cfg, n_steps, dev, tables, init_code, init_phase,
-                      rand_bits)
+                      rand_bits, reset_mask, reset_code, reset_phase)
 
 
 class CodeKNNEngine:
@@ -423,6 +442,74 @@ class CodeKNNEngine:
             cfg, S, self.dev, self.devdb, ta, tc, ic, ip, rb)
         codes = blocks.reshape(W, S * cfg.step_sz)[:, :cfg.num_frames_code]
         return codes.astype(jnp.int32), phases, votes, (W, S)
+
+    def predict_batch(self, clip_audio: Optional[np.ndarray],
+                      clip_context: Optional[np.ndarray] = None,
+                      init_codes: Optional[np.ndarray] = None,
+                      init_phases: Optional[np.ndarray] = None,
+                      rng: Optional[np.random.RandomState] = None
+                      ) -> list:
+        """Batched serving: match C independent clips in ONE device program.
+
+        clip_audio: (C, W, S, ...) staged queries (same W per clip);
+        init_codes: (C,) seeds (drawn like the reference when omitted).
+        Seed chains reset at each clip boundary via the scan's reset masks.
+        Returns a list of C OracleResults.
+        """
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        lead = clip_audio if clip_audio is not None else clip_context
+        C, W, S = lead.shape[:3]
+        if init_codes is None:
+            from .oracle import CodeKNNOracle
+            oracle = CodeKNNOracle(self.db)
+            draws = [oracle.init_code_phase(rng) for _ in range(C)]
+            init_codes = np.array([d[0] for d in draws], np.int32)
+            if cfg.use_phase and init_phases is None:
+                init_phases = np.stack([d[1] for d in draws])
+        if init_phases is None:
+            init_phases = np.zeros((C, 8, 16), np.float32)
+
+        Q = C * W * S
+        reset_mask = np.zeros((Q,), bool)
+        reset_code = np.zeros((Q,), np.int32)
+        reset_phase = np.zeros((Q, 8, 16), np.float32)
+        for c in range(C):
+            q0 = c * W * S
+            reset_mask[q0] = True
+            reset_code[q0] = init_codes[c]
+            reset_phase[q0] = init_phases[c]
+
+        flat_audio = None if clip_audio is None else \
+            clip_audio.reshape((C * W,) + clip_audio.shape[2:])
+        flat_ctx = None if clip_context is None else \
+            clip_context.reshape((C * W,) + clip_context.shape[2:])
+        rand_bits = None
+        if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
+            rand_bits = jnp.asarray((rng.rand(Q) > 0.5).astype(np.int32))
+
+        inputs = jax.device_put((flat_audio, flat_ctx, reset_mask,
+                                 reset_code, reset_phase))
+        ta, tc, rm, rc, rp = inputs
+        blocks, phases, votes = _predict_impl(
+            cfg, S, self.dev, self.devdb,
+            ta if cfg.use_aud else None, tc if cfg.use_txt else None,
+            jnp.asarray(np.int32(0)), jnp.zeros((8, 16), jnp.float32),
+            rand_bits, rm, rc, rp)
+        blocks, phases, votes = jax.device_get((blocks, phases, votes))
+        results = []
+        blocks = np.asarray(blocks).reshape(C, W, S * cfg.step_sz)
+        for c in range(C):
+            codes = blocks[c, :, :cfg.num_frames_code].astype(np.int32)
+            phases_np = None
+            if cfg.use_phase:
+                phases_np = np.asarray(phases).reshape(
+                    C, W, S, 8, 16)[c, :, -1]
+            votes_np = np.asarray(votes).reshape(C, W, S)[c] \
+                if (cfg.use_phase and cfg.use_aud and cfg.use_txt) else None
+            results.append(OracleResult(codes=codes, phases=phases_np,
+                                        votes=votes_np))
+        return results
 
     def predict(self, test_audio: Optional[np.ndarray],
                 test_context: Optional[np.ndarray] = None,

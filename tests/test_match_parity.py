@@ -97,3 +97,30 @@ def test_seed_chaining_across_windows():
                           init_code=int(full.codes[0, -1]),
                           rng=np.random.RandomState(0))
     np.testing.assert_array_equal(res1.codes[0], full.codes[1])
+
+
+def test_predict_batch_matches_sequential():
+    """Batched multi-clip serving must equal per-clip predicts with the same
+    seeds (seed chains reset at clip boundaries)."""
+    rng = np.random.RandomState(42)
+    fx = make_fixture(rng, n_seq=4, n_test=4, codebook=48)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq"].__dict__,
+                         "codebook_size": 48})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+
+    # 2 clips x 2 windows each
+    clip_audio = test_audio.reshape(2, 2, *test_audio.shape[1:])
+    clip_ctx = test_context.reshape(2, 2, *test_context.shape[1:])
+    init_codes = np.array([5, 11], np.int32)
+    init_phases = rng.rand(2, 8, 16).astype(np.float32)
+    batch = engine.predict_batch(clip_audio, clip_ctx,
+                                 init_codes=init_codes,
+                                 init_phases=init_phases)
+    for c in range(2):
+        single = engine.predict(clip_audio[c], clip_ctx[c],
+                                init_code=int(init_codes[c]),
+                                init_phase=init_phases[c])
+        np.testing.assert_array_equal(batch[c].codes, single.codes)
+        np.testing.assert_allclose(batch[c].phases, single.phases,
+                                   atol=1e-6)
