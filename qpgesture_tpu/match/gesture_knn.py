@@ -41,6 +41,57 @@ class GestureKNNData:
     step_sz: int = 8
 
 
+def stage_gesture_knn(mfcc: np.ndarray, body: np.ndarray,
+                      control_type=None,
+                      step_sz: int = 8) -> GestureKNNData:
+    """Build the raw-pose database from window npz arrays, matching
+    load_train_db (data_processing.py:12-64): audio feature = 6-frame MFCC
+    stack (stride 4), body feature = 4-frame stack (stride 4) of the
+    BODY_FEAT_IDX joints' 9-dim rotations; features z-normalized with the
+    train stats and the test features normalized with the audio slice
+    (predict_gesture_from_audio, GestureKNN.py:299-325).
+
+    mfcc: (K, T, >=13); body: (K, T, 135). Returns staged (unnormalized)
+    data plus stats — callers normalize via `normalize_gesture_knn`.
+    """
+    from ..ops.stacking import stack_post
+    from .control import create_control_filter
+
+    mfcc = mfcc[:, :, :C.NUM_MFCC_FEAT].astype(np.float64)
+    K, T = mfcc.shape[:2]
+    motion = body.reshape(K, T, -1, 9)
+    slc = np.take(motion, C.BODY_FEAT_IDX, axis=2).reshape(K, T, -1)
+    body_feat = stack_post(slc, C.NUM_BODY_FEAT_FRAMES, C.FRAME_INTERVAL)
+    audio_feat = stack_post(mfcc, C.NUM_AUDIO_FEAT_FRAMES, C.FRAME_INTERVAL)
+    features = np.concatenate([audio_feat, body_feat], axis=2)
+    n_aud = audio_feat.shape[2]
+    mask = create_control_filter(features.transpose(0, 2, 1), control_type,
+                                 n_aud_feat=n_aud)
+    return GestureKNNData(feat=features.astype(np.float32),
+                          motion=body.astype(np.float32),
+                          control_mask=mask, n_aud=n_aud, step_sz=step_sz)
+
+
+def normalize_gesture_knn(db: GestureKNNData, test_mfcc: np.ndarray
+                          ) -> Tuple[GestureKNNData, np.ndarray]:
+    """z-normalize the database features with train stats and stage test
+    audio features with the audio-slice stats (GestureKNN.py:306-314).
+    Returns (normalized db, (W, n_aud, T) normalized test features)."""
+    from ..ops.stacking import stack_post
+
+    feat = db.feat.astype(np.float64)
+    mean = feat.mean(axis=(0, 1))
+    std = feat.std(axis=(0, 1))
+    norm = ((feat - mean) / (std + 1e-8)).astype(np.float32)
+    test = stack_post(test_mfcc[:, :, :C.NUM_MFCC_FEAT].astype(np.float64),
+                      C.NUM_AUDIO_FEAT_FRAMES, C.FRAME_INTERVAL)
+    test = ((test - mean[:db.n_aud]) / (std[:db.n_aud] + 1e-8))
+    out_db = GestureKNNData(feat=norm, motion=db.motion,
+                            control_mask=db.control_mask, n_aud=db.n_aud,
+                            step_sz=db.step_sz)
+    return out_db, test.transpose(0, 2, 1).astype(np.float32)
+
+
 def _valid_frames(d: np.ndarray, mask_row: np.ndarray,
                   step: int) -> np.ndarray:
     L = d.shape[0]
@@ -53,9 +104,13 @@ def _valid_frames(d: np.ndarray, mask_row: np.ndarray,
 
 def search_motion_np(db: GestureKNNData, feat_test: np.ndarray,
                      init_seq: int, init_frm: int,
-                     desired_k: int = 0) -> np.ndarray:
+                     desired_k: int = 0,
+                     tie_kind: str = "stable") -> np.ndarray:
     """NumPy oracle for GestureKNN.search_motion (GestureKNN.py:102-211).
-    feat_test: (n_aud, n_frames). Returns (n_joints, n_frames)."""
+    feat_test: (n_aud, n_frames). Returns (n_joints, n_frames).
+
+    tie_kind='reference' uses NumPy's default unstable argsort like the
+    reference (rank-sum collisions are frequent with few sequences)."""
     n_aud, step = db.n_aud, db.step_sz
     K, L = db.feat.shape[:2]
     n_frames = feat_test.shape[1]
@@ -89,10 +144,17 @@ def search_motion_np(db: GestureKNNData, feat_test: np.ndarray,
                 na = np.linalg.norm(aud_q) or 1.0
                 nb = np.linalg.norm(cand) or 1.0
                 aud_dist[k] = 1.0 - np.dot(aud_q / na, cand / nb)
-        combined = (rank_np(pos_dist).astype(np.float32)
-                    + rank_np(aud_dist).astype(np.float32))
+        if tie_kind == "reference":
+            def _rank(x):
+                return np.asarray(x).argsort().argsort()
+            kind = None
+        else:
+            _rank = rank_np
+            kind = "stable"
+        combined = (_rank(pos_dist).astype(np.float64)
+                    + _rank(aud_dist).astype(np.float64))
         combined = np.where(np.isfinite(pos_dist), combined, np.inf)
-        sel = int(np.argsort(combined, kind="stable")[desired_k])
+        sel = int(np.argsort(combined, kind=kind)[desired_k])
         f = frame_sel[sel]
         blk_feat = db.feat[sel, f:f + step, n_aud:].T       # (P, <=step)
         blk_pose = db.motion[sel, f:f + step].T             # (J, <=step)
