@@ -129,7 +129,12 @@ def stage_database(cfg: MatchConfig,
         assert wavvq is not None
         stacked = stack_wavvq(wavvq.astype(np.int32))        # (J, 398, 22)
         sel = stacked[:, geom.block_frame_idx]               # (J, B, 22)
-        aud_strings = combine_wavvq(sel)                     # (J, B, 11)
+        if cfg.wavvq_mode == "sum":
+            from ..ops.levenshtein import split_wavvq_groups
+            g0, g1 = split_wavvq_groups(sel)                 # (J, B, 11) x2
+            aud_strings = np.stack([g0, g1], axis=2)         # (J, B, 2, 11)
+        else:
+            aud_strings = combine_wavvq(sel)                 # (J, B, 11)
     elif cfg.audio_mode in ("wavlm_feat", "wavlm"):
         assert wavlm is not None
         interp = interpolate_linear(
@@ -216,7 +221,12 @@ def stage_test_audio(cfg: MatchConfig, db: MatchDatabase,
     if cfg.audio_mode == "wavvq_feat":
         assert wavvq is not None
         stacked = stack_wavvq(wavvq.astype(np.int32))
-        return combine_wavvq(stacked[:, sidx])               # (W, S, 11)
+        sel = stacked[:, sidx]
+        if cfg.wavvq_mode == "sum":
+            from ..ops.levenshtein import split_wavvq_groups
+            g0, g1 = split_wavvq_groups(sel)
+            return np.stack([g0, g1], axis=2)                # (W, S, 2, 11)
+        return combine_wavvq(sel)                            # (W, S, 11)
     if cfg.audio_mode in ("wavlm_feat", "wavlm"):
         assert wavlm is not None
         interp = interpolate_linear(wavlm.astype(np.float32), geom.n_db_frm)

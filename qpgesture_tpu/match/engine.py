@@ -187,7 +187,12 @@ def _edit_distances(q, flat_db):
 def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
                      is_strings: bool):
     J, B = codes.shape
-    if is_strings:
+    if is_strings and q.ndim == 3:  # wavvq 'sum' mode: (Q, groups, L)
+        G = q.shape[1]
+        flat_db = feat.reshape(J * B, G, feat.shape[-1])
+        dist = sum(_edit_distances(q[:, g], flat_db[:, g])
+                   for g in range(G)).astype(jnp.float32)
+    elif is_strings:
         dist = _edit_distances(
             q, feat.reshape(J * B, feat.shape[-1])).astype(jnp.float32)
     else:

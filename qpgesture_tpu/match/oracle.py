@@ -89,9 +89,16 @@ def audio_candidates(db: MatchDatabase, query) -> CandidateTable:
     J, B = db.aud_codes.shape
     dists = np.zeros((J, B), dtype=np.float32)
     if cfg.audio_mode == "wavvq_feat":
+        grouped = db.aud_strings.ndim == 4  # 'sum' mode: (J, B, G, L)
         for j in range(J):
             for b in range(B):
-                dists[j, b] = levenshtein_np(query, db.aud_strings[j, b])
+                if grouped:
+                    dists[j, b] = sum(
+                        levenshtein_np(query[g], db.aud_strings[j, b, g])
+                        for g in range(db.aud_strings.shape[2]))
+                else:
+                    dists[j, b] = levenshtein_np(query,
+                                                 db.aud_strings[j, b])
     else:
         for j in range(J):
             for b in range(B):

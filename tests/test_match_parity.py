@@ -124,3 +124,21 @@ def test_predict_batch_matches_sequential():
         np.testing.assert_array_equal(batch[c].codes, single.codes)
         np.testing.assert_allclose(batch[c].phases, single.phases,
                                    atol=1e-6)
+
+
+def test_wavvq_sum_mode_parity():
+    """Levenshtein 'sum' mode (per-group distances summed,
+    wavvq_distances mode='sum'): engine == oracle."""
+    rng = np.random.RandomState(9)
+    fx = make_fixture(rng, n_seq=4, n_test=1, codebook=48)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq"].__dict__,
+                         "codebook_size": 48, "wavvq_mode": "sum"})
+    db, test_audio, test_context = _stage(cfg, fx)
+    assert db.aud_strings.ndim == 4 and test_audio.ndim == 4
+    oracle = CodeKNNOracle(db)
+    res_o = oracle.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+    engine = CodeKNNEngine(cfg, db)
+    res_e = engine.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
