@@ -175,6 +175,119 @@ def cmd_train_vqvae(args):
     print(f"best val: {best}")
 
 
+def cmd_build_db(args):
+    """Database construction for a new speaker (make_beat_dataset steps 1-4
+    equivalent): (BVH, wav[, transcript]) recordings -> per-split window
+    bundles + stats + pipeline snapshot (+ codes / wavvq / phases when the
+    corresponding checkpoints are supplied)."""
+    import glob
+    import os
+    import wave as wavemod
+
+    from .core.config import VQVAEConfig, load_config
+    from .motion.bvh import parse_bvh
+    from .motion.pipeline import MotionPipeline
+    from .pipelines.database_builder import (hashed_embed_fn,
+                                             process_recording, split_of,
+                                             window_recordings)
+    from .pipelines.transcripts import read_tab_transcript
+    from .train.data import dataset_stats
+
+    os.makedirs(args.out, exist_ok=True)
+    bvh_files = sorted(glob.glob(os.path.join(args.bvh_dir, "*.bvh")))
+    assert bvh_files, f"no .bvh files in {args.bvh_dir}"
+
+    pipeline = None
+    recordings = []
+    for bvh_path in bvh_files:
+        name = os.path.splitext(os.path.basename(bvh_path))[0]
+        if split_of(name) is None:
+            print(f"skip {name}")
+            continue
+        wav_path = os.path.join(args.wav_dir, name + ".wav")
+        with wavemod.open(wav_path) as f:
+            assert f.getframerate() == 16000, f"{wav_path}: expected 16 kHz"
+            wav = (np.frombuffer(f.readframes(f.getnframes()), np.int16)
+                   .astype(np.float32) / 32768.0)
+        words = []
+        if args.transcript_dir:
+            tpath = os.path.join(args.transcript_dir, name + ".txt")
+            if os.path.exists(tpath):
+                words = read_tab_transcript(tpath)
+        bvh = parse_bvh(bvh_path)
+        if pipeline is None:
+            pipeline = MotionPipeline(fps=args.fps).fit(bvh)
+            with open(os.path.join(args.out, "pipeline.json"), "w") as f:
+                f.write(pipeline.to_json())
+        rec = process_recording(name, bvh, wav, pipeline, words,
+                                fps=args.fps)
+        recordings.append(rec)
+        print(f"{name}: {rec.rotation.shape[0]} frames "
+              f"({split_of(name)})")
+
+    mean, std = dataset_stats([{"poses": r.rotation} for r in recordings])
+    np.savez(os.path.join(args.out, "stats.npz"), mean=mean, std=std)
+
+    if args.pae_checkpoint:
+        from .models.pae import PAE, PhaseExtractor
+        from .models.torch_convert import load_pae_checkpoint
+        conf = load_config(args.config) if args.config else None
+        from .core.config import PAEConfig
+        pae_cfg = conf.pae if conf else PAEConfig()
+        extractor = PhaseExtractor(PAE(pae_cfg),
+                                   load_pae_checkpoint(args.pae_checkpoint))
+        for rec in recordings:
+            rec.phase = extractor.pose_to_phase(rec.rotation, mean, std)
+
+    embed = hashed_embed_fn() if args.hashed_context else None
+    if args.sentence_model:
+        from .pipelines.database_builder import sentence_transformer_embed_fn
+        embed = sentence_transformer_embed_fn(args.sentence_model)
+
+    splits = {"train": [], "validation": [], "test": []}
+    for rec in recordings:
+        splits[split_of(rec.name)].append(rec)
+    for split, recs in splits.items():
+        if not recs:
+            continue
+        bundle = window_recordings(recs, n_frames=args.n_frames,
+                                   embed_fn=embed)
+        path = os.path.join(args.out, f"{args.prefix}_{split}_"
+                            f"{args.n_frames}_txt_2.npz")
+        bundle.save(path)
+        print(f"wrote {path}: {bundle.body.shape[0]} windows")
+
+        if args.vqvae_checkpoint:
+            from .pipelines.database_builder import encode_windows
+            conf = load_config(args.config) if args.config else None
+            vq_cfg = conf.vqvae if conf else VQVAEConfig()
+            model, params, cb = _load_vqvae(args.vqvae_checkpoint, vq_cfg)
+            codes = encode_windows(model, params, cb, bundle.body, mean, std)
+            cpath = os.path.join(args.out, f"{args.prefix}_{split}_"
+                                 f"{args.n_frames}_code.npz")
+            np.savez_compressed(cpath, code=codes)
+            print(f"wrote {cpath}: {codes.shape}")
+        if args.wavvq_checkpoint:
+            from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
+            from .pipelines.database_builder import extract_wavvq
+            model, variables = load_vq_wav2vec_checkpoint(
+                args.wavvq_checkpoint)
+            wavvq = extract_wavvq(model, variables, bundle.wav)
+            wpath = os.path.join(args.out, f"{args.prefix}_{split}_"
+                                 f"{args.n_frames}_WavVQ.npz")
+            np.savez_compressed(wpath, wavvq=wavvq)
+            print(f"wrote {wpath}: {wavvq.shape}")
+        if args.wavlm_checkpoint:
+            from .models.wavlm import load_wavlm_checkpoint
+            from .pipelines.database_builder import extract_wavlm
+            model, variables = load_wavlm_checkpoint(args.wavlm_checkpoint)
+            feats = extract_wavlm(model, variables, bundle.wav)
+            lpath = os.path.join(args.out, f"{args.prefix}_{split}_"
+                                 f"{args.n_frames}_WavLM.npz")
+            np.savez_compressed(lpath, wavlm=feats)
+            print(f"wrote {lpath}: {feats.shape}")
+
+
 def cmd_phase(args):
     """PAE.py --stage inference equivalent: Rotation/*.npz -> Phase/*.npz
     with dense (T, 4, 8) phases."""
@@ -311,6 +424,26 @@ def main(argv=None):
     tv.add_argument("--out", default="./output/train_codebook")
     tv.add_argument("--epochs", type=int)
     tv.set_defaults(fn=cmd_train_vqvae)
+
+    bd = sub.add_parser("build-db", help="build a speaker database from "
+                        "(BVH, wav, transcript) recordings")
+    bd.add_argument("--bvh-dir", required=True)
+    bd.add_argument("--wav-dir", required=True)
+    bd.add_argument("--transcript-dir")
+    bd.add_argument("--out", required=True)
+    bd.add_argument("--prefix", default="speaker")
+    bd.add_argument("--fps", type=int, default=60)
+    bd.add_argument("--n-frames", type=int, default=240)
+    bd.add_argument("--config")
+    bd.add_argument("--vqvae-checkpoint")
+    bd.add_argument("--wavvq-checkpoint")
+    bd.add_argument("--wavlm-checkpoint")
+    bd.add_argument("--pae-checkpoint")
+    bd.add_argument("--sentence-model",
+                    help="sentence-transformers model path for context")
+    bd.add_argument("--hashed-context", action="store_true",
+                    help="deterministic hashed embeddings (air-gapped)")
+    bd.set_defaults(fn=cmd_build_db)
 
     ph = sub.add_parser("phase", help="extract PAE phases for Rotation/*.npz")
     ph.add_argument("--checkpoint", required=True)
