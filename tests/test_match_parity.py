@@ -142,3 +142,40 @@ def test_wavvq_sum_mode_parity():
     res_e = engine.predict(test_audio, test_context,
                            rng=np.random.RandomState(cfg.seed))
     np.testing.assert_array_equal(res_o.codes, res_e.codes)
+
+
+def test_serving_pipeline_matches_predict_plus_decode():
+    """serve() (single fused program incl. decode) equals predict + decode."""
+    import jax
+    import jax.numpy as jnp
+    from qpgesture_tpu.core.config import VQVAEConfig
+    from qpgesture_tpu.models.vqvae import VQVAE
+    from qpgesture_tpu.serve import ServingPipeline
+
+    rng = np.random.RandomState(13)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq"].__dict__,
+                         "codebook_size": 32})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+
+    vq_cfg = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=32,
+                         input_dim=135, sample_length=30)
+    model = VQVAE(vq_cfg)
+    params, cb = model.init(jax.random.PRNGKey(0))
+    cb = model.init_codebook_from_batch(
+        params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
+        jax.random.PRNGKey(1))
+    mean = rng.randn(135).astype(np.float32)
+    std = np.abs(rng.randn(135)).astype(np.float32) + 0.5
+    pipe = ServingPipeline(engine, model, params, cb, mean, std)
+    codes, poses = pipe.serve(test_audio, test_context, init_code=3)
+
+    res = engine.predict(test_audio, test_context, init_code=3,
+                         init_phase=np.zeros((8, 16), np.float32))
+    np.testing.assert_array_equal(codes, res.codes)
+    want = np.asarray(jax.jit(lambda z: model.decode(params, cb, z))(
+        jnp.asarray(res.codes.reshape(1, -1))))[0]
+    want = want * np.clip(std, 0.01, None) + mean
+    np.testing.assert_allclose(poses, want, atol=1e-4)
+    assert poses.shape == (2 * 240, 135)
