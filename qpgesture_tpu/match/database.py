@@ -210,13 +210,20 @@ def stage_database(cfg: MatchConfig,
 def stage_test_audio(cfg: MatchConfig, db: MatchDatabase,
                      test_bundle: Optional[DatabaseBundle] = None,
                      wavlm: Optional[np.ndarray] = None,
-                     wavvq: Optional[np.ndarray] = None) -> np.ndarray:
+                     wavvq: Optional[np.ndarray] = None,
+                     clip_len: Optional[int] = None) -> np.ndarray:
     """Stage the per-step test audio queries.
 
     Returns (W, S, D) float32 features for cosine modes or (W, S, L) int32
-    strings for the wavvq mode, where S = steps per window (8).
-    """
+    strings for the wavvq mode, where S = steps per window (8 for 4 s
+    windows; pass clip_len for the reference's long-window variants, e.g.
+    3600-frame mfcc clips — GestureKNN.py:853-854 — which walk more steps
+    per window)."""
     geom = db.geom
+    if clip_len is not None:
+        geom = mode_geometry(cfg.audio_mode, clip_len=clip_len,
+                             step_sz_codes=cfg.step_sz,
+                             num_frames_code=cfg.num_frames_code)
     sidx = geom.step_clip_idx
     if cfg.audio_mode == "wavvq_feat":
         assert wavvq is not None

@@ -147,3 +147,30 @@ def test_text_geometry():
     slots, frames = text_geometry()
     np.testing.assert_array_equal(frames, np.arange(0, 208, 8))
     np.testing.assert_array_equal(slots, np.arange(26))
+
+
+def test_long_clip_geometry():
+    """3600-frame mfcc clips (the reference's 60 s variant) walk 113 steps
+    of 32 frames (while i < 3600, i += 32)."""
+    g = mode_geometry("feat", clip_len=3600)
+    assert len(g.step_clip_idx) == 113
+    np.testing.assert_array_equal(g.step_clip_idx[:3], [0, 32, 64])
+
+
+def test_legacy_phase_object_npz(tmp_path):
+    """DatabaseBundle converts the reference's object-dtype torch-tensor
+    phase arrays to dense (n, T, 4, 8) on load (superseding
+    fix_device_bug.py)."""
+    torch = pytest.importorskip("torch")
+    from qpgesture_tpu.core.schemas import DatabaseBundle
+    rng2 = np.random.RandomState(0)
+    dense = rng2.rand(2, 6, 4, 8).astype(np.float32)
+    obj = np.empty((2, 6, 4), dtype=object)
+    for i in range(2):
+        for j in range(6):
+            for p in range(4):
+                obj[i, j, p] = torch.tensor(dense[i, j, p].reshape(1, 8, 1))
+    path = str(tmp_path / "legacy.npz")
+    np.savez_compressed(path, phase=obj)
+    bundle = DatabaseBundle.load(path)
+    np.testing.assert_allclose(bundle.phase, dense, atol=1e-7)
