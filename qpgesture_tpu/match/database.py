@@ -140,9 +140,14 @@ def stage_database(cfg: MatchConfig,
         interp = interpolate_linear(
             wavlm.astype(np.float32), geom.n_db_frm)         # (J, 180, 1024)
         if cfg.audio_mode == "wavlm_feat":
-            feat = stack_post(interp, C.NUM_AUDIO_FEAT_FRAMES,
-                              C.FRAME_INTERVAL - 2)          # (J, 180, 6144)
-            aud_feat = feat[:, geom.block_frame_idx]
+            # the 6x stacked feature at block frame t is just frames
+            # [t, t+2, ..., t+10] (all in range for block frames), so gather
+            # directly instead of materializing the 6x-redundant full stack
+            idx = (geom.block_frame_idx[:, None]
+                   + (C.FRAME_INTERVAL - 2)
+                   * np.arange(C.NUM_AUDIO_FEAT_FRAMES)[None, :])
+            assert idx.max() < geom.n_db_frm
+            aud_feat = interp[:, idx].reshape(J, B, -1)      # (J, B, 6144)
         else:
             # raw wavlm mode flattens step_sz consecutive frames per block
             step = int(geom.step_sz)
