@@ -138,6 +138,43 @@ class WindowedDataset:
                    data_mean=mean, data_std=std)
 
 
+def clips_to_store(clips: List[dict], path: str) -> int:
+    """Serialize raw clips into the native mmap RecordStore (the LMDB-cache
+    replacement): each record is one clip's poses (+ audio) as raw npy
+    bytes. Returns the record count."""
+    import io
+
+    from ..utils.native import RecordStore
+
+    writer = RecordStore.create(path)
+    for clip in clips:
+        buf = io.BytesIO()
+        np.savez(buf, poses=clip["poses"],
+                 audio=clip.get("audio") if clip.get("audio") is not None
+                 else np.zeros(0, np.float32))
+        writer.append(buf.getvalue())
+    return writer.finalize()
+
+
+def store_to_dataset(path: str, n_poses: int, stride: int, fps: int = 60,
+                     data_mean=None, data_std=None) -> "WindowedDataset":
+    """Window every clip in a RecordStore into a WindowedDataset."""
+    import io
+
+    from ..utils.native import RecordStore
+
+    store = RecordStore.open(path)
+    clips = []
+    for i in range(len(store)):
+        data = np.load(io.BytesIO(store[i]))
+        audio = data["audio"]
+        clips.append({"poses": data["poses"],
+                      "audio": audio if audio.size else None})
+    store.close()
+    return WindowedDataset.from_clips(clips, n_poses, stride, fps,
+                                      data_mean, data_std)
+
+
 def device_prefetch(batches: Iterator, size: int = 2) -> Iterator:
     """Overlap host->device transfer with compute: keep `size` batches in
     flight on device. Essential when the host link is slow (the batch upload

@@ -67,3 +67,18 @@ def test_record_store_python_fallback(tmp_path, rng):
         for i, r in enumerate(records):
             assert store[i] == r
         store.close()
+
+
+def test_clips_store_roundtrip(tmp_path, rng):
+    """Training clips through the native store -> windowed dataset."""
+    from qpgesture_tpu.train.data import (WindowedDataset, clips_to_store,
+                                          store_to_dataset)
+    clips = [{"poses": rng.randn(300, 9).astype(np.float32),
+              "audio": rng.randn(80000).astype(np.float32)},
+             {"poses": rng.randn(280, 9).astype(np.float32),
+              "audio": None}]
+    path = str(tmp_path / "clips.qpg")
+    assert clips_to_store(clips, path) == 2
+    ds = store_to_dataset(path, n_poses=40, stride=20)
+    direct = WindowedDataset.from_clips(clips, n_poses=40, stride=20)
+    np.testing.assert_array_equal(ds.poses, direct.poses)
