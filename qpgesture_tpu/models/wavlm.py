@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
 
 @dataclass(frozen=True)
 class WavLMJaxConfig:
@@ -50,6 +54,9 @@ class WavLMJaxConfig:
     num_buckets: int = 320
     max_distance: int = 800
     gru_rel_pos: bool = True
+    # "highest" = true f32 (feature fidelity); "default" = bf16 multiplies
+    # (use when the f32-emulation compile is too heavy for the target)
+    precision: str = "highest"
 
     @classmethod
     def base(cls) -> "WavLMJaxConfig":
@@ -66,6 +73,7 @@ class ConvFeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, n_samples) -> (B, frames, 512)."""
+        cfg = self.cfg
         x = wav[..., None]
         for i, (dim, k, stride) in enumerate(self.cfg.conv_feature_layers):
             kernel = self.param(f"conv{i}_kernel",
@@ -74,7 +82,7 @@ class ConvFeatureExtractor(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x, kernel, window_strides=(stride,), padding="VALID",
                 dimension_numbers=("NWC", "WIO", "NWC"),
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PRECISIONS[cfg.precision])
             if self.cfg.conv_bias:
                 y = y + self.param(f"conv{i}_bias", nn.initializers.zeros,
                                    (dim,))
@@ -137,7 +145,7 @@ class WavLMAttention(nn.Module):
         v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
 
         scores = jnp.einsum("bthd,bshd->bhts", q * (hd ** -0.5), k,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_PRECISIONS[cfg.precision])
 
         if position_bias is not None:
             bias = position_bias[None]                       # (1, H, T, T)
@@ -155,7 +163,7 @@ class WavLMAttention(nn.Module):
 
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhts,bshd->bthd", attn, v,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=_PRECISIONS[cfg.precision])
         out = nn.Dense(D, name="out_proj")(out.reshape(B, T, D))
         return out, position_bias
 
@@ -216,7 +224,7 @@ class WavLMJax(nn.Module):
             feats, pos_kernel, window_strides=(1,),
             padding=((k // 2, k // 2),), feature_group_count=groups,
             dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=jax.lax.Precision.HIGHEST) + pos_bias_p
+            precision=_PRECISIONS[cfg.precision]) + pos_bias_p
         if k % 2 == 0:  # SamePad: drop the trailing element
             x_conv = x_conv[:, :-1]
         x = feats + nn.gelu(x_conv, approximate=False)
