@@ -179,3 +179,26 @@ def test_serving_pipeline_matches_predict_plus_decode():
     want = want * np.clip(std, 0.01, None) + mean
     np.testing.assert_allclose(poses, want, atol=1e-4)
     assert poses.shape == (2 * 240, 135)
+
+
+def test_desired_k_nonzero():
+    """desired_k > 0 selects the k-th best fusion candidate (non-phase
+    paths, GestureKNN.py:588)."""
+    rng = np.random.RandomState(21)
+    fx = make_fixture(rng, n_seq=4, n_test=1, codebook=48)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq_aud_only"].__dict__,
+                         "codebook_size": 48, "desired_k": 2})
+    db, test_audio, _ = _stage(cfg, fx)
+    oracle = CodeKNNOracle(db)
+    res_o = oracle.predict(test_audio, None,
+                           rng=np.random.RandomState(cfg.seed))
+    engine = CodeKNNEngine(cfg, db)
+    res_e = engine.predict(test_audio, None,
+                           rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
+    # and k=0 differs (different candidates selected)
+    cfg0 = MatchConfig(**{**cfg.__dict__, "desired_k": 0})
+    engine0 = CodeKNNEngine(cfg0, db)
+    res0 = engine0.predict(test_audio, None,
+                           rng=np.random.RandomState(cfg.seed))
+    assert (res0.codes != res_e.codes).any()
