@@ -57,6 +57,10 @@ class WavLMJaxConfig:
     # "highest" = true f32 (feature fidelity); "default" = bf16 multiplies
     # (use when the f32-emulation compile is too heavy for the target)
     precision: str = "highest"
+    # scan the homogeneous layers 1..N-1 (compile one layer body instead of
+    # N unrolled copies — large models compile ~20x faster); unrolled mode
+    # additionally supports output_layer extraction
+    scan_layers: bool = True
 
     @classmethod
     def base(cls) -> "WavLMJaxConfig":
@@ -194,6 +198,17 @@ class WavLMLayer(nn.Module):
         return x, position_bias
 
 
+class _ScanWavLMLayer(nn.Module):
+    """nn.scan-compatible wrapper: carry = x, broadcast position_bias."""
+    cfg: WavLMJaxConfig
+
+    @nn.compact
+    def __call__(self, x, position_bias):
+        x, _ = WavLMLayer(self.cfg, has_bias_table=False,
+                          name="layer")(x, position_bias)
+        return x, None
+
+
 class WavLMJax(nn.Module):
     cfg: WavLMJaxConfig
 
@@ -232,14 +247,26 @@ class WavLMJax(nn.Module):
             x = nn.LayerNorm(name="encoder_layer_norm")(x)
 
         position_bias = None
-        n_layers = cfg.encoder_layers if output_layer is None \
-            else output_layer
-        for i in range(cfg.encoder_layers):
-            if i >= n_layers:
-                break
-            x, position_bias = WavLMLayer(
-                cfg, has_bias_table=(i == 0), name=f"layer{i}")(
-                    x, position_bias)
+        if cfg.scan_layers and output_layer is None:
+            x, position_bias = WavLMLayer(cfg, has_bias_table=True,
+                                          name="layer0")(x, position_bias)
+            if cfg.encoder_layers > 1:
+                scan = nn.scan(
+                    _ScanWavLMLayer,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=nn.broadcast,
+                    length=cfg.encoder_layers - 1)
+                x, _ = scan(cfg, name="layers_scan")(x, position_bias)
+        else:
+            n_layers = cfg.encoder_layers if output_layer is None \
+                else output_layer
+            for i in range(cfg.encoder_layers):
+                if i >= n_layers:
+                    break
+                x, position_bias = WavLMLayer(
+                    cfg, has_bias_table=(i == 0), name=f"layer{i}")(
+                        x, position_bias)
         if cfg.layer_norm_first and output_layer is None:
             x = nn.LayerNorm(name="encoder_layer_norm")(x)
         return x
@@ -290,6 +317,7 @@ def convert_wavlm(state_dict: dict, cfg: WavLMJaxConfig) -> dict:
     params["pos_conv_bias"] = _np(state_dict["encoder.pos_conv.0.bias"])
     params["encoder_layer_norm"] = ln("encoder.layer_norm")
 
+    layers = []
     for i in range(cfg.encoder_layers):
         base = f"encoder.layers.{i}"
         layer = {
@@ -313,7 +341,17 @@ def convert_wavlm(state_dict: dict, cfg: WavLMJaxConfig) -> dict:
             layer["self_attn"]["rel_bias"] = _np(
                 state_dict[f"{base}.self_attn.relative_attention_bias"
                            ".weight"])
-        params[f"layer{i}"] = layer
+        layers.append(layer)
+
+    if cfg.scan_layers:
+        import jax as _jax
+        params["layer0"] = layers[0]
+        if len(layers) > 1:
+            params["layers_scan"] = {"layer": _jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *layers[1:])}
+    else:
+        for i, layer in enumerate(layers):
+            params[f"layer{i}"] = layer
     return {"params": params}
 
 
