@@ -242,3 +242,17 @@ def test_fk_matches_pymo_semantics(rng):
     np.testing.assert_allclose(got, ref, atol=1e-3)
     got_jax = forward_kinematics(data, use_jax=True)
     np.testing.assert_allclose(got_jax, ref, atol=1e-3)
+
+
+def test_motion_features(rng):
+    from qpgesture_tpu.motion.features import (joint_velocity, plant_frames,
+                                               reverse_time)
+    pos = np.zeros((20, 2, 3))
+    pos[:, 1, 1] = np.concatenate([np.zeros(10), np.linspace(0, 5, 10)])
+    vel = joint_velocity(pos)
+    assert vel.shape == (20, 2)
+    planted = plant_frames(pos, joint=1, height_threshold=0.1,
+                           velocity_threshold=1.0)
+    assert planted[:9].all() and not planted[-5:].any()
+    x = rng.randn(5, 3)
+    np.testing.assert_array_equal(reverse_time(x), x[::-1])
