@@ -66,7 +66,11 @@ def main():
         params,
         jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
         jax.random.PRNGKey(1))
-    decode = jax.jit(lambda c: model.decode(params, cb, c))
+    decode_jit = jax.jit(lambda p, c_, z: model.decode(p, c_, z))
+    params_d, cb_d = jax.device_put((params, cb))
+
+    def decode(z):
+        return decode_jit(params_d, cb_d, z)
 
     def run():
         # whole serving path on-device; one upload, one download per clip

@@ -138,19 +138,19 @@ class PhaseExtractor:
         cfg = self.model.cfg
         t = cfg.frames
 
-        def forward(window_vel):
+        def forward(variables, window_vel):
             # window_vel: (B, T-1, C) velocity rows (the reference feeds
             # T-1 rows plus a leading zero to reach T)
             B = window_vel.shape[0]
             zero = jnp.zeros((B, 1, window_vel.shape[2]), jnp.float32)
             x = jnp.concatenate([zero, window_vel], axis=1)
             x = x.transpose(0, 2, 1).reshape(B, -1)
-            _, _, _, params = self.model.apply(self.variables, x,
-                                               train=False)
+            _, _, _, params = self.model.apply(variables, x, train=False)
             return jnp.concatenate([q.squeeze(-1)[:, None, :]
                                     for q in params], axis=1)  # (B, 4, C)
 
-        self._forward = jax.jit(forward)
+        jitted = jax.jit(forward)
+        self._forward = lambda wins: jitted(self.variables, wins)
         self._t = t
 
     def pose_to_phase(self, pose: np.ndarray, data_mean: np.ndarray,

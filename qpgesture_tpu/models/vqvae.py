@@ -147,8 +147,8 @@ def codebook_signature(model: VQVAE, params, cb: bn.CodebookState,
     K = model.cfg.l_bins
     codes = jnp.tile(jnp.arange(K, dtype=jnp.int32)[:, None],
                      (1, model.cfg.sample_length))
-    decode = jax.jit(lambda c: model.decode(params, cb, c))
-    poses = np.asarray(decode(codes))
+    decode = jax.jit(lambda p, s_, c: model.decode(p, s_, c))
+    poses = np.asarray(decode(params, cb, codes))
     if data_mean is not None:
         std = np.clip(np.asarray(data_std), 0.01, None)
         poses = poses * std + np.asarray(data_mean)

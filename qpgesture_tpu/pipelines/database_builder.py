@@ -166,10 +166,13 @@ def encode_windows(model, params, cb, body: np.ndarray,
     import jax.numpy as jnp
     std = np.clip(data_std, 0.01, None)
     norm = (body - data_mean) / std
-    enc = jax.jit(lambda x: model.encode(params, cb, x))
+    # params/cb as ARGUMENTS, not jit closure constants: closure capture
+    # embeds the weights into the compiled program (and into remote-compile
+    # requests)
+    enc = jax.jit(lambda p, c, x: model.encode(p, c, x))
     outs = []
     for s in range(0, len(norm), batch):
-        outs.append(np.asarray(enc(jnp.asarray(
+        outs.append(np.asarray(enc(params, cb, jnp.asarray(
             norm[s:s + batch].astype(np.float32)))))
     return np.concatenate(outs).astype(np.int32)
 
@@ -180,10 +183,10 @@ def extract_wavlm(model, variables, wavs: np.ndarray,
     make_beat_dataset.py:337-385)."""
     import jax
     import jax.numpy as jnp
-    apply = jax.jit(lambda w: model.apply(variables, w))
+    apply = jax.jit(model.apply)
     outs = []
     for s in range(0, len(wavs), batch):
-        outs.append(np.asarray(apply(jnp.asarray(
+        outs.append(np.asarray(apply(variables, jnp.asarray(
             wavs[s:s + batch].astype(np.float32)))))
     return np.concatenate(outs)
 
@@ -194,10 +197,10 @@ def extract_wavvq(model, variables, wavs: np.ndarray,
     make_beat_dataset.py:388-429)."""
     import jax
     import jax.numpy as jnp
-    apply = jax.jit(lambda w: model.apply(variables, w))
+    apply = jax.jit(model.apply)
     outs = []
     for s in range(0, len(wavs), batch):
-        outs.append(np.asarray(apply(jnp.asarray(
+        outs.append(np.asarray(apply(variables, jnp.asarray(
             wavs[s:s + batch].astype(np.float32)))))
     return np.concatenate(outs).astype(np.int32)
 

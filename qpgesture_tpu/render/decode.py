@@ -35,7 +35,7 @@ def decode_codes(model: VQVAE, params, cb, codes: np.ndarray,
     """
     flat = jnp.asarray(codes.reshape(1, -1).astype(np.int32))
     poses = np.asarray(jax.jit(
-        lambda z: model.decode(params, cb, z))(flat))[0]  # (W*240, 135)
+        lambda p, c, z: model.decode(p, c, z))(params, cb, flat))[0]
     if data_mean is not None:
         std = np.clip(np.asarray(data_std), 0.01, None)
         poses = poses * std + np.asarray(data_mean)
