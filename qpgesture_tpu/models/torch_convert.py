@@ -140,6 +140,51 @@ def load_pae_checkpoint(path: str, phase_channels: int = 8):
     return convert_pae(sd, phase_channels)
 
 
+def convert_generator_gru(state_dict: Dict, hidden: int = 200,
+                          layers: int = 2) -> Dict:
+    """Reference Generator_gru state_dict (generate.py:312-350) -> flax
+    variables for models.gru_baseline.GeneratorGRU: WavEncoder convs + BN,
+    the 2-layer bidirectional GRU, LayerNorm, output Dense."""
+    sd = strip_prefix(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+
+    # WavEncoder: Sequential indices 0,3,6,9 = convs, 1,4,7,10 = BN,
+    # final conv at 12 (generate.py:12-26)
+    enc_p: Dict = {}
+    enc_s: Dict = {}
+    conv_idx = [0, 3, 6, 9]
+    for i, k in enumerate(conv_idx):
+        enc_p[f"conv{i}"] = conv1d(sd, f"WavEncoder.feat_extractor.{k}")
+        p, st = _batchnorm(sd, f"WavEncoder.feat_extractor.{k + 1}")
+        enc_p[f"bn{i}"], enc_s[f"bn{i}"] = p, st
+    enc_p["conv4"] = conv1d(sd, "WavEncoder.feat_extractor.12")
+    params["wav_encoder"] = enc_p
+    stats["wav_encoder"] = enc_s
+
+    # torch GRU: weight_ih_l{n}[_reverse] (3H, in), biases (3H,)
+    for layer in range(layers):
+        for direction, suffix in (("f", ""), ("b", "_reverse")):
+            base = f"project.weight_ih_l{layer}{suffix}"
+            params[f"gru{layer}_{direction}"] = {
+                "w_ih": _np(sd[base]).T,
+                "w_hh": _np(sd[f"project.weight_hh_l{layer}{suffix}"]).T,
+                "b_ih": _np(sd[f"project.bias_ih_l{layer}{suffix}"]),
+                "b_hh": _np(sd[f"project.bias_hh_l{layer}{suffix}"]),
+            }
+    params["norm"] = {"scale": _np(sd["norm.weight"]),
+                      "bias": _np(sd["norm.bias"])}
+    params["out"] = _dense(sd, "out")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_generator_gru_checkpoint(path: str):
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
+    return convert_generator_gru(sd)
+
+
 def load_vqvae_checkpoint(path: str, cfg: VQVAEConfig):
     """Load a reference .bin checkpoint (torch pickle) and convert."""
     import torch

@@ -114,3 +114,56 @@ def test_resync_shapes(rng):
     gp = gradient_penalty(disc.apply, dvars, dx, dx * 0.5,
                           jax.random.PRNGKey(2))
     assert np.isfinite(float(gp))
+
+
+def test_generator_gru_conversion(rng):
+    """Full GeneratorGRU checkpoint conversion vs a torch-built
+    reference-topology model (generate.py:9-31,312-350)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    from qpgesture_tpu.models.gru_baseline import GeneratorGRU
+    from qpgesture_tpu.models.torch_convert import convert_generator_gru
+
+    class TWavEncoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feat_extractor = tnn.Sequential(
+                tnn.Conv1d(1, 8, 16, stride=3), tnn.BatchNorm1d(8),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(8, 16, 16, stride=3), tnn.BatchNorm1d(16),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(16, 32, 16, stride=6), tnn.BatchNorm1d(32),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(32, 64, 16, stride=6), tnn.BatchNorm1d(64),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(64, 32, 16, stride=6))
+
+        def forward(self, wav):
+            return self.feat_extractor(wav.unsqueeze(1)).transpose(1, 2)
+
+    class TGen(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.WavEncoder = TWavEncoder()
+            self.project = tnn.GRU(32, 200, num_layers=2, dropout=0.1,
+                                   bidirectional=True, batch_first=True)
+            self.norm = tnn.LayerNorm(200)
+            self.out = tnn.Linear(200, 512)
+
+        def forward(self, x):
+            f = self.WavEncoder(x)
+            o, _ = self.project(f)
+            o = o[:, :, :200] + o[:, :, 200:]
+            return self.out(self.norm(o))
+
+    torch.manual_seed(5)
+    tmodel = TGen().eval()
+    variables = convert_generator_gru(tmodel.state_dict())
+    model = GeneratorGRU(hidden=200, output=512)
+    wav = rng.randn(2, 64000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(wav)).numpy()
+    got, _ = model.apply(variables, jnp.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3)
+    corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
+    assert corr > 0.9999
