@@ -175,6 +175,92 @@ def cmd_train_vqvae(args):
     print(f"best val: {best}")
 
 
+def cmd_generate(args):
+    """Wav in, BVH out — the product path in one command (the reference's
+    demo wrapper, Speech2GestureMatching/inference.py:19-82, plus decode):
+    window the audio, extract wavvq codes, match against the staged
+    database, decode with the VQ-VAE, write BVH."""
+    import wave as wavemod
+
+    from .core.config import MATCH_PRESETS, MatchConfig, load_config
+    from .core.schemas import (CodebookSignature, DatabaseBundle, load_codes,
+                               load_wavlm, load_wavvq)
+    from .match.database import (stage_database, stage_test_audio,
+                                 stage_test_context)
+    from .match.engine import CodeKNNEngine
+    from .motion.pipeline import MotionPipeline
+    from .pipelines.database_builder import (extract_wavvq,
+                                             window_test_audio)
+    from .render.decode import render_result
+
+    if args.wav.endswith(".npz"):
+        wav = np.load(args.wav)["wav"].astype(np.float32)
+        if wav.ndim == 2:
+            wav = wav.reshape(-1)
+    else:
+        with wavemod.open(args.wav) as f:
+            assert f.getframerate() == 16000, "expected 16 kHz wav"
+            wav = (np.frombuffer(f.readframes(f.getnframes()), np.int16)
+                   .astype(np.float32) / 32768.0)
+    windows = window_test_audio(wav)
+    print(f"{windows.shape[0]} windows of 4 s")
+
+    preset = MATCH_PRESETS[args.preset]
+    bundle = DatabaseBundle.load(args.train_database)
+    codes = load_codes(args.train_codebook)
+    signature = CodebookSignature.load(args.codebook_signature)
+    cfg = MatchConfig(**{**preset.__dict__,
+                         "codebook_size": signature.signature.shape[0]})
+    wavlm = load_wavlm(args.train_wavlm) if args.train_wavlm else None
+    wavvq = load_wavvq(args.train_wavvq) if args.train_wavvq else None
+    db = stage_database(cfg, bundle, codes, signature, wavlm=wavlm,
+                        wavvq=wavvq)
+
+    if cfg.audio_mode == "wavvq_feat":
+        from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
+        model, variables = load_vq_wav2vec_checkpoint(args.wavvq_checkpoint)
+        test_wavvq = extract_wavvq(model, variables, windows)
+        test_audio = stage_test_audio(cfg, db, wavvq=test_wavvq)
+    else:
+        from .models.wavlm import load_wavlm_checkpoint
+        model, variables = load_wavlm_checkpoint(args.wavlm_checkpoint)
+        from .pipelines.database_builder import extract_wavlm
+        test_wavlm = extract_wavlm(model, variables, windows)
+        test_audio = stage_test_audio(cfg, db, wavlm=test_wavlm)
+    test_context = None
+    if cfg.use_txt:
+        # without transcripts the context falls back to empty-text
+        # embeddings replicated per window
+        from .pipelines.database_builder import hashed_embed_fn
+        embed = hashed_embed_fn()
+        ctx = np.tile(embed([""] * 30)[None, :, :],
+                      (windows.shape[0], 1, 1)).astype(np.float32)
+        test_context = stage_test_context(db, ctx)
+
+    engine = CodeKNNEngine(cfg, db)
+    result = engine.predict(test_audio, test_context)
+    print(f"matched codes {result.codes.shape}")
+
+    conf = load_config(args.config) if args.config else None
+    vq_cfg = conf.vqvae if conf else __import__(
+        "qpgesture_tpu.core.config", fromlist=["VQVAEConfig"]).VQVAEConfig()
+    model, params, cb = _load_vqvae(args.vqvae_checkpoint, vq_cfg)
+    with open(args.pipeline) as f:
+        pipeline = MotionPipeline.from_json(f.read())
+    mean = np.asarray(conf.data_mean) if conf and conf.data_mean else None
+    std = np.asarray(conf.data_std) if conf and conf.data_std else None
+    bvh_path, npy_path = render_result(result.codes, model, params, cb,
+                                       pipeline, args.out, args.prefix,
+                                       data_mean=mean, data_std=std,
+                                       smoothing=args.smooth)
+    print(f"wrote {bvh_path}")
+    if args.video and npy_path:
+        from .render.visualize import render_positions
+        pos = np.load(npy_path)
+        out = render_positions(pos, bvh_path.replace(".bvh", ".mp4"))
+        print(f"wrote {out}")
+
+
 def cmd_build_db(args):
     """Database construction for a new speaker (make_beat_dataset steps 1-4
     equivalent): (BVH, wav[, transcript]) recordings -> per-split window
@@ -424,6 +510,25 @@ def main(argv=None):
     tv.add_argument("--out", default="./output/train_codebook")
     tv.add_argument("--epochs", type=int)
     tv.set_defaults(fn=cmd_train_vqvae)
+
+    g = sub.add_parser("generate", help="wav -> gestures (match + decode)")
+    g.add_argument("--wav", required=True)
+    g.add_argument("--train-database", required=True)
+    g.add_argument("--train-codebook", required=True)
+    g.add_argument("--codebook-signature", required=True)
+    g.add_argument("--train-wavlm")
+    g.add_argument("--train-wavvq")
+    g.add_argument("--wavvq-checkpoint")
+    g.add_argument("--wavlm-checkpoint")
+    g.add_argument("--vqvae-checkpoint", required=True)
+    g.add_argument("--pipeline", required=True)
+    g.add_argument("--config")
+    g.add_argument("--preset", default="wavvq")
+    g.add_argument("--out", default="./output")
+    g.add_argument("--prefix", default="generated")
+    g.add_argument("--smooth", action="store_true")
+    g.add_argument("--video", action="store_true")
+    g.set_defaults(fn=cmd_generate)
 
     bd = sub.add_parser("build-db", help="build a speaker database from "
                         "(BVH, wav, transcript) recordings")
