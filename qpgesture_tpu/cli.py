@@ -148,6 +148,56 @@ def cmd_test_audio(args):
               "to extract codes")
 
 
+def cmd_evaluate(args):
+    """Score generated motion against ground truth: Hellinger distance over
+    velocity histograms and FGD (raw space; feature space when a VQ-VAE
+    checkpoint is given — its encoder latents are the feature extractor).
+    Inputs are npz files with 'poses'/'body'/'knn_pred'-decoded arrays or
+    plain .npy of shape (T, C) or (N, T, C)."""
+    import json
+
+    from .render.metrics import fgd, hellinger_velocity
+
+    def load_motion(path):
+        if path.endswith(".npy"):
+            return np.load(path)
+        data = np.load(path, allow_pickle=True)
+        for key in ("poses", "body", "motion"):
+            if key in data.files:
+                return data[key]
+        raise ValueError(f"{path}: no poses/body/motion array")
+
+    gen = load_motion(args.generated)
+    ref = load_motion(args.reference)
+    flat_gen = gen.reshape(-1, gen.shape[-1])
+    flat_ref = ref.reshape(-1, ref.shape[-1])
+    out = {"hellinger": round(hellinger_velocity(flat_gen, flat_ref), 6)}
+
+    win = args.window
+    def windows(x):
+        n = (x.shape[0] // win) * win
+        return x[:n].reshape(-1, win, x.shape[-1])
+    wg, wr = windows(flat_gen), windows(flat_ref)
+    out["fgd_raw"] = round(fgd(wg, wr), 4)
+
+    if args.vqvae_checkpoint:
+        import jax
+        import jax.numpy as jnp
+        from .core.config import VQVAEConfig, load_config
+        conf = load_config(args.config) if args.config else None
+        cfg = conf.vqvae if conf else VQVAEConfig()
+        model, params, cb = _load_vqvae(args.vqvae_checkpoint, cfg)
+        enc = jax.jit(lambda p, c, x: model.encode(p, c, x))
+
+        def encoder(wins):
+            zs = np.asarray(enc(params, cb,
+                                jnp.asarray(wins.astype(np.float32))))
+            return zs.reshape(zs.shape[0], -1).astype(np.float64)
+
+        out["fgd_feature"] = round(fgd(wg, wr, encoder=encoder), 4)
+    print(json.dumps(out))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -502,6 +552,15 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    ev = sub.add_parser("evaluate",
+                        help="Hellinger + FGD between motion sets")
+    ev.add_argument("--generated", required=True)
+    ev.add_argument("--reference", required=True)
+    ev.add_argument("--window", type=int, default=240)
+    ev.add_argument("--vqvae-checkpoint")
+    ev.add_argument("--config")
+    ev.set_defaults(fn=cmd_evaluate)
 
     tv = sub.add_parser("train-vqvae", help="train the gesture VQ-VAE")
     tv.add_argument("--config", required=True)

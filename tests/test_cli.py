@@ -126,3 +126,18 @@ def test_cli_test_audio(tmp_path, rng):
     cli_main(["test-audio", "--wav", wav_path, "--out", out_path])
     windows = np.load(str(tmp_path / "wav_240.npz"))["wav"]
     assert windows.shape == (2, 64000)
+
+
+def test_cli_evaluate(tmp_path, rng, capsys):
+    import json
+    gen = rng.randn(1000, 27).astype(np.float32)
+    ref = gen + 0.01 * rng.randn(1000, 27).astype(np.float32)
+    gp = str(tmp_path / "gen.npy")
+    rp = str(tmp_path / "ref.npy")
+    np.save(gp, gen)
+    np.save(rp, ref)
+    cli_main(["evaluate", "--generated", gp, "--reference", rp,
+              "--window", "100"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 <= out["hellinger"] <= 1
+    assert out["fgd_raw"] >= 0
