@@ -159,14 +159,11 @@ def stage_database(cfg: MatchConfig,
         stats["mfcc_mean"], stats["mfcc_std"] = mean, std
         norm_mfcc = normalize(mfcc, mean, std)
         if cfg.audio_mode == "feat":
-            feat = stack_post(norm_mfcc, C.NUM_AUDIO_FEAT_FRAMES,
-                              C.FRAME_INTERVAL)              # (J, 240, 78)
-            fmean, fstd = calc_mean_std(
-                stack_post(mfcc, C.NUM_AUDIO_FEAT_FRAMES, C.FRAME_INTERVAL))
-            # The reference normalizes the *stacked* features with their own
-            # stats (GestureKNN.py:735-738); recompute accordingly.
+            # the reference stacks the RAW mfcc and normalizes the stacked
+            # features with their own stats (GestureKNN.py:735-738)
             raw_feat = stack_post(mfcc, C.NUM_AUDIO_FEAT_FRAMES,
-                                  C.FRAME_INTERVAL)
+                                  C.FRAME_INTERVAL)          # (J, 240, 78)
+            fmean, fstd = calc_mean_std(raw_feat)
             stats["feat_mean"], stats["feat_std"] = fmean, fstd
             feat = normalize(raw_feat, fmean, fstd)
             aud_feat = feat[:, geom.block_frame_idx]
