@@ -238,6 +238,14 @@ MATCH_PRESETS: Dict[str, MatchConfig] = {
                                   use_txt=False, use_phase=False),
     "mfcc": MatchConfig(audio_mode="feat", use_aud=True, use_txt=False,
                         use_phase=False),
+    # raw (unstacked) audio modes: consecutive frames flattened per block
+    # (GestureKNN.py:562-563,571-572). The reference's dispatch for these
+    # passes no guidance flags (predict_code_from_audio:797,806) which
+    # appends nothing — here they run as audio-only searches.
+    "wavlm_raw": MatchConfig(audio_mode="wavlm", use_aud=True,
+                             use_txt=False, use_phase=False),
+    "mfcc_raw": MatchConfig(audio_mode="audio", use_aud=True,
+                            use_txt=False, use_phase=False),
     "no_phase": MatchConfig(audio_mode="wavlm_feat", use_aud=True,
                             use_txt=True, use_phase=False),
     "no_text": MatchConfig(audio_mode="wavlm_feat", use_aud=True,
