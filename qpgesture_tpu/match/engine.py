@@ -99,7 +99,7 @@ class DeviceTables:
 class DeviceDatabase:
     """Static per-database device state."""
     sig_dist: jnp.ndarray              # (512, 512) f32, +inf diagonal
-    freq_rank: jnp.ndarray             # (512,) f32, pre-scaled rank * weight
+    freq_rank: jnp.ndarray             # (512,) i32 raw frequency ranks
     phase: Optional[jnp.ndarray]       # (J, 240, 8)
     amp: Optional[jnp.ndarray]         # (J, 240, 8)
 
@@ -121,7 +121,7 @@ def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
         (frames.astype(np.float64) / C.WAVVQ_FRAMES *
          C.NUM_FRAMES).astype(np.int32))
     start = start_tab[args % B]
-    rank = jax.vmap(rank_jnp)(mins).astype(jnp.float32)
+    rank = jax.vmap(rank_jnp)(mins).astype(jnp.int32)
     return rank, blk, seq, start
 
 
@@ -207,7 +207,7 @@ def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
                     jnp.broadcast_to(code_ids[None, :, None], blk.shape))
     seq = (args // B).astype(jnp.int32)
     start = starts[args % B]
-    rank = jax.vmap(rank_jnp)(mins).astype(jnp.float32)
+    rank = jax.vmap(rank_jnp)(mins).astype(jnp.int32)
     return rank, blk, seq, start
 
 
@@ -282,6 +282,10 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
     the previous clip).
     """
     Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
+    inv_w = 1.0 / cfg.freq_weight if cfg.freq_weight else 1.0
+    assert abs(inv_w - round(inv_w)) < 1e-9, (
+        "freq_weight must be 1/K for exact integer scoring")
+    _SCALE = jnp.int32(round(inv_w))
     last_step = (jnp.arange(Q) % n_steps) == (n_steps - 1)
     if reset_mask is None:
         reset_mask = jnp.zeros((Q,), bool)
@@ -297,11 +301,18 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         prev_code = jnp.where(do_reset, r_code, prev_code)
         prev_phase = jnp.where(do_reset, r_phase, prev_phase)
 
-        pos_rank = rank_jnp(dev.sig_dist[prev_code]).astype(jnp.float32)
-        base = pos_rank + dev.freq_rank if cfg.use_freq else pos_rank
+        # integer-scaled exact scoring (see oracle.search_window): every
+        # term of pos + freq_weight*freq + rank is a multiple of
+        # freq_weight = 1/K, so score with K*pos + freq + K*rank in int32 —
+        # order-exact, no float summation ambiguity
+        pos_rank = rank_jnp(dev.sig_dist[prev_code]).astype(jnp.int32)
+        base = pos_rank * _SCALE + dev.freq_rank if cfg.use_freq \
+            else pos_rank * _SCALE
 
         out_phase = prev_phase
         vote = jnp.int32(0)
+        a_rank = a_rank * _SCALE
+        t_rank = t_rank * _SCALE
         if not use_phase and use_aud and use_txt:
             combined = base + a_rank + t_rank
             c = jnp.argsort(combined)[cfg.desired_k]
@@ -405,7 +416,7 @@ class CodeKNNEngine:
             np.argsort(np.argsort(db.freq_dist)).astype(np.float32)
         self.dev = DeviceDatabase(
             sig_dist=jnp.asarray(db.sig_dist),
-            freq_rank=jnp.asarray(freq_rank, jnp.float32) * cfg.freq_weight,
+            freq_rank=jnp.asarray(freq_rank).astype(jnp.int32),
             phase=jnp.asarray(db.phase) if db.phase is not None else None,
             amp=jnp.asarray(db.amp) if db.amp is not None else None)
 

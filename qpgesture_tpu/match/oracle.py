@@ -205,19 +205,37 @@ class CodeKNNOracle:
         freq_rank = db.freq_rank if db.freq_rank is not None \
             else rank_np(db.freq_dist).astype(np.float32)
 
+        # Scores are rank sums plus freq_weight * freq_rank — every term is
+        # a multiple of freq_weight, so score differences that are zero in
+        # exact arithmetic can flip sign under float summation order (the
+        # reference's f64 sums have the same instability). When freq_weight
+        # is 1/K for integer K, compute K-scaled INTEGER scores instead:
+        # exact, order-independent, and identical between oracle and engine.
+        inv_w = 1.0 / cfg.freq_weight if cfg.freq_weight else 1.0
+        int_scale = int(round(inv_w)) if abs(inv_w - round(inv_w)) < 1e-9 \
+            else None
+
         for s in range(n_steps):
             prev = result[-1]
-            pos_score = self._rank(db.sig_dist[prev]).astype(np.float32)
-            if cfg.use_freq:  # hard-coded True in the reference (:542)
-                pos_score = pos_score + freq_rank * cfg.freq_weight
+            if int_scale is not None:
+                pos_score = (self._rank(db.sig_dist[prev]).astype(np.int64)
+                             * int_scale)
+                if cfg.use_freq:
+                    pos_score = pos_score + freq_rank.astype(np.int64)
+                rank_scale = int_scale
+            else:
+                pos_score = self._rank(db.sig_dist[prev]).astype(np.float64)
+                if cfg.use_freq:
+                    pos_score = pos_score + freq_rank * cfg.freq_weight
+                rank_scale = 1
 
             aud = aud_tables[s] if cfg.use_aud else None
             txt = txt_tables[s] if cfg.use_txt else None
             if txt is not None:
-                txt_score = self._rank(txt.dist)
+                txt_score = self._rank(txt.dist) * rank_scale
                 combined_txt = pos_score + txt_score
             if aud is not None:
-                aud_score = self._rank(aud.dist)
+                aud_score = self._rank(aud.dist) * rank_scale
                 combined_aud = pos_score + aud_score
 
             if not cfg.use_phase and cfg.use_txt and cfg.use_aud:
