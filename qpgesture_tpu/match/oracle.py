@@ -214,6 +214,10 @@ class CodeKNNOracle:
         inv_w = 1.0 / cfg.freq_weight if cfg.freq_weight else 1.0
         int_scale = int(round(inv_w)) if abs(inv_w - round(inv_w)) < 1e-9 \
             else None
+        if self.tie_kind == "reference":
+            # the reference sums ranks in float64 (GestureKNN.py:545,579);
+            # keep its exact arithmetic for bit-matching runs
+            int_scale = None
 
         for s in range(n_steps):
             prev = result[-1]
