@@ -85,11 +85,13 @@ def main():
     codes_out, poses = run()
     assert codes_out.shape == (W, 30) and poses.shape == (W, 240, 135)
 
-    n_iters = 5
-    start = time.perf_counter()
-    for _ in range(n_iters):
+    # median of per-iteration times: robust to host-link jitter
+    times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
         run()
-    elapsed = (time.perf_counter() - start) / n_iters
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
 
     gesture_seconds = W * 4.0
     value = gesture_seconds / elapsed
