@@ -15,11 +15,13 @@ Architecture (wav2vec v1 feature extractor + Gumbel VQ, Baevski et al.
     checkpoint was trained with weight_proj_depth > 1) to groups*num_vars
     logits; inference codes are the per-group argmax.
 
-Fidelity note: fairseq is not installed in this image and the public
-vq-wav2vec.pt is not vendored, so unlike WavLM this port is verified by
-construction + converter key coverage, not output equivalence; the
-matching engine also accepts precomputed wavvq features as the escape
-hatch (SURVEY §2.9).
+Fidelity: fairseq is not installed in this image and the public
+vq-wav2vec.pt is not vendored, so the port is output-verified against a
+plain-torch transcription of the published fairseq inference graph
+(tests/test_vq_wav2vec.py: random weights loaded strict=True into the
+oracle — which pins the state-dict key layout — then layer-by-layer and
+end-to-end code equality on a 64000-sample window). The matching engine
+also accepts precomputed wavvq features as the escape hatch (SURVEY §2.9).
 """
 from __future__ import annotations
 
@@ -47,7 +49,10 @@ class VQWav2VecConfig:
 
 
 def _act(name: str):
-    return nn.gelu if name == "gelu" else nn.relu
+    # torch nn.GELU() is the exact erf form; jax defaults to tanh-approx
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    return nn.relu
 
 
 class VQW2VFeatureExtractor(nn.Module):
@@ -79,6 +84,7 @@ class VQW2VFeatureExtractor(nn.Module):
                 t = x.shape[1]
                 r = residual[:, ::residual.shape[1] // t][:, :t]
                 x = (x + r) * cfg.residual_scale
+            self.sow("intermediates", f"conv{i}", x)
         if cfg.log_compression:
             x = jnp.log1p(jnp.abs(x))
         return x
@@ -93,15 +99,22 @@ class GumbelCodebook(nn.Module):
         """(B, T, 512) -> (B, T, groups) int32 codes (forward_idx)."""
         cfg = self.cfg
         out_dim = cfg.groups * cfg.num_vars
+        # full f32 matmuls: on TPU the MXU's default bf16 precision perturbs
+        # logits enough to flip near-tie argmaxes (~0.8% of code slots on a
+        # real chip) — and the codes ARE the output contract
+        hi = jax.lax.Precision.HIGHEST
         h = z
         if cfg.weight_proj_depth > 1:
-            inner = cfg.weight_proj_factor * out_dim
+            # fairseq: inner_dim = input_dim * weight_proj_factor
+            # (GumbelVectorQuantizer with weight_proj_factor=2 -> 1024)
+            inner = cfg.weight_proj_factor * z.shape[-1]
             for d in range(cfg.weight_proj_depth - 1):
                 h = _act(cfg.activation)(
-                    nn.Dense(inner, name=f"proj{d}")(h))
-            logits = nn.Dense(out_dim, name="proj_out")(h)
+                    nn.Dense(inner, name=f"proj{d}", precision=hi)(h))
+            logits = nn.Dense(out_dim, name="proj_out", precision=hi)(h)
         else:
-            logits = nn.Dense(out_dim, name="proj_out")(h)
+            logits = nn.Dense(out_dim, name="proj_out", precision=hi)(h)
+        self.sow("intermediates", "logits", logits)
         logits = logits.reshape(z.shape[0], z.shape[1], cfg.groups,
                                 cfg.num_vars)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -123,13 +136,17 @@ def convert_vq_wav2vec(state_dict: dict, cfg: Optional[VQWav2VecConfig] = None
     weight_proj depth is inferred from the checkpoint's keys."""
     from .torch_convert import _np
 
-    depth = 1
-    if any(k.startswith("vector_quantizer.weight_proj.0")
-           for k in state_dict):
-        depth = 1 + sum(
-            1 for k in state_dict
-            if k.startswith("vector_quantizer.weight_proj.")
-            and k.endswith(".weight")) - 1
+    # fairseq key layouts for vector_quantizer.weight_proj:
+    #   depth == 1:  nn.Linear                    -> weight_proj.{weight,bias}
+    #   depth  > 1:  nn.Sequential of (depth-1) x Sequential(Linear, act)
+    #                blocks plus a final Linear   -> weight_proj.{i}.0.weight
+    #                for blocks, weight_proj.{depth-1}.weight for the last
+    if "vector_quantizer.weight_proj.weight" in state_dict:
+        depth = 1
+    else:
+        depth = len({int(k.split(".")[2]) for k in state_dict
+                     if k.startswith("vector_quantizer.weight_proj.")
+                     and k.split(".")[2].isdigit()})
     cfg = cfg or VQWav2VecConfig(weight_proj_depth=max(depth, 1))
 
     fe: dict = {}
@@ -141,29 +158,29 @@ def convert_vq_wav2vec(state_dict: dict, cfg: Optional[VQWav2VecConfig] = None
         fe[f"gn{i}_bias"] = _np(state_dict[f"{base}.2.bias"]).reshape(-1)
 
     vq: dict = {}
+
+    def _linear(prefix):
+        return {"kernel": _np(state_dict[prefix + ".weight"]).T,
+                "bias": _np(state_dict[prefix + ".bias"])}
+
     if cfg.weight_proj_depth > 1:
-        proj_keys = sorted(
-            {int(k.split(".")[2]) for k in state_dict
-             if k.startswith("vector_quantizer.weight_proj.")
-             and k.split(".")[2].isdigit()})
-        dense_idx = 0
-        for k_i in proj_keys:
-            wkey = f"vector_quantizer.weight_proj.{k_i}.weight"
-            if wkey not in state_dict:
-                continue
-            entry = {"kernel": _np(state_dict[wkey]).T,
-                     "bias": _np(
-                         state_dict[f"vector_quantizer.weight_proj.{k_i}"
-                                    ".bias"])}
-            if dense_idx < cfg.weight_proj_depth - 1:
-                vq[f"proj{dense_idx}"] = entry
+        for d in range(cfg.weight_proj_depth - 1):
+            base = f"vector_quantizer.weight_proj.{d}"
+            # nested block Sequential(Linear, act) -> ".{d}.0"; also accept
+            # a flat Sequential(Linear, act, Linear, ...) layout -> ".{2d}"
+            if f"{base}.0.weight" in state_dict:
+                vq[f"proj{d}"] = _linear(f"{base}.0")
             else:
-                vq["proj_out"] = entry
-            dense_idx += 1
+                vq[f"proj{d}"] = _linear(
+                    f"vector_quantizer.weight_proj.{2 * d}")
+        last = cfg.weight_proj_depth - 1
+        if f"vector_quantizer.weight_proj.{last}.weight" in state_dict:
+            vq["proj_out"] = _linear(f"vector_quantizer.weight_proj.{last}")
+        else:
+            vq["proj_out"] = _linear(
+                f"vector_quantizer.weight_proj.{2 * last}")
     else:
-        vq["proj_out"] = {
-            "kernel": _np(state_dict["vector_quantizer.weight_proj.weight"]).T,
-            "bias": _np(state_dict["vector_quantizer.weight_proj.bias"])}
+        vq["proj_out"] = _linear("vector_quantizer.weight_proj")
 
     return cfg, {"params": {"feature_extractor": fe,
                             "vector_quantizer": vq}}

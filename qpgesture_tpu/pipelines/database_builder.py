@@ -211,6 +211,11 @@ def window_test_audio(wav: np.ndarray, n_frames: int = 240, fps: int = C.FPS,
     minlen = len(wav) / sr * fps
     n_sub = math.floor((minlen - n_frames) / n_frames) + 1
     alen = int(n_frames / fps * sr)
+    if n_sub < 1:
+        raise ValueError(
+            f"audio too short: {len(wav)} samples ({len(wav) / sr:.2f} s) "
+            f"< one {n_frames}-frame window ({alen} samples, "
+            f"{n_frames / fps:.1f} s at {fps} fps)")
     return np.stack([wav[math.floor(i * n_frames / fps * sr):
                          math.floor(i * n_frames / fps * sr) + alen]
                      for i in range(n_sub)]).astype(np.float32)
