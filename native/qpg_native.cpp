@@ -166,9 +166,22 @@ void* qpg_store_open(const char* path) {
     uint64_t n, index_off;
     memcpy(&n, base + size - 16, 8);
     memcpy(&index_off, base + size - 8, 8);
-    QpgReader* r = new QpgReader{fd, base, size, n,
-                                 (const uint64_t*)(base + index_off),
-                                 (const uint64_t*)(base + index_off + 8 * n)};
+    // Validate the tail-of-file index against the mapped size before
+    // dereferencing: a truncated or corrupt store must fail to open, not
+    // read out of bounds. Layout: [data][offsets 8n][lengths 8n][n][off].
+    if (index_off < 8 || index_off > size ||
+        n > (size - index_off) / 16 ||
+        index_off + 16 * n + 16 != size) {
+        munmap(base, size); close(fd); return nullptr;
+    }
+    const uint64_t* offsets = (const uint64_t*)(base + index_off);
+    const uint64_t* lengths = (const uint64_t*)(base + index_off + 8 * n);
+    for (uint64_t i = 0; i < n; ++i) {
+        if (offsets[i] > index_off || lengths[i] > index_off - offsets[i]) {
+            munmap(base, size); close(fd); return nullptr;
+        }
+    }
+    QpgReader* r = new QpgReader{fd, base, size, n, offsets, lengths};
     return r;
 }
 

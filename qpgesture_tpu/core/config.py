@@ -127,6 +127,12 @@ class MatchConfig:
     # Levenshtein string construction mode for wavvq ('combine' per
     # GestureKNN.py:677; 'sum' also supported per wavvq_distances:44-55).
     wavvq_mode: str = "combine"
+    # Cross-window seed chaining. The reference passes seed_code/seed_phase
+    # only in the wavvq and wavlm_feat dispatch paths
+    # (GestureKNN.py:789-802); the mfcc ('feat'/'audio') and raw-wavlm
+    # dispatches call search_code_knn without seeds, so each window draws a
+    # fresh random init (GestureKNN.py:797,804,806).
+    chain_windows: bool = True
 
 
 @dataclass(frozen=True)
@@ -237,15 +243,18 @@ MATCH_PRESETS: Dict[str, MatchConfig] = {
     "wavvq_aud_only": MatchConfig(audio_mode="wavvq_feat", use_aud=True,
                                   use_txt=False, use_phase=False),
     "mfcc": MatchConfig(audio_mode="feat", use_aud=True, use_txt=False,
-                        use_phase=False),
+                        use_phase=False, chain_windows=False),
     # raw (unstacked) audio modes: consecutive frames flattened per block
     # (GestureKNN.py:562-563,571-572). The reference's dispatch for these
     # passes no guidance flags (predict_code_from_audio:797,806) which
-    # appends nothing — here they run as audio-only searches.
+    # appends nothing — here they run as audio-only searches. Like the mfcc
+    # dispatch, the reference passes no seeds here, so windows don't chain.
     "wavlm_raw": MatchConfig(audio_mode="wavlm", use_aud=True,
-                             use_txt=False, use_phase=False),
+                             use_txt=False, use_phase=False,
+                             chain_windows=False),
     "mfcc_raw": MatchConfig(audio_mode="audio", use_aud=True,
-                            use_txt=False, use_phase=False),
+                            use_txt=False, use_phase=False,
+                            chain_windows=False),
     "no_phase": MatchConfig(audio_mode="wavlm_feat", use_aud=True,
                             use_txt=True, use_phase=False),
     "no_text": MatchConfig(audio_mode="wavlm_feat", use_aud=True,

@@ -116,7 +116,8 @@ def stage_database(cfg: MatchConfig,
     wavvq: (J, 398, 2).
     """
     geom = mode_geometry(cfg.audio_mode, step_sz_codes=cfg.step_sz,
-                         num_frames_code=cfg.num_frames_code)
+                         num_frames_code=cfg.num_frames_code,
+                         num_frames=cfg.num_frames)
     code_train = codes.astype(np.int32)
     J = code_train.shape[0]
     B = len(geom.block_code_idx)
@@ -225,7 +226,8 @@ def stage_test_audio(cfg: MatchConfig, db: MatchDatabase,
     if clip_len is not None:
         geom = mode_geometry(cfg.audio_mode, clip_len=clip_len,
                              step_sz_codes=cfg.step_sz,
-                             num_frames_code=cfg.num_frames_code)
+                             num_frames_code=cfg.num_frames_code,
+                             num_frames=cfg.num_frames)
     sidx = geom.step_clip_idx
     if cfg.audio_mode == "wavvq_feat":
         assert wavvq is not None

@@ -286,6 +286,17 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
     assert abs(inv_w - round(inv_w)) < 1e-9, (
         "freq_weight must be 1/K for exact integer scoring")
     _SCALE = jnp.int32(round(inv_w))
+    # Cross-window seed geometry: the kept code result[num_frames_code]
+    # (appended index num_frames_code-1) must land in the final step's
+    # block, else the scan's seed chain cannot reproduce the oracle — fail
+    # loudly instead of silently diverging on unsupported geometries.
+    seed_i = cfg.num_frames_code - 1
+    assert seed_i // cfg.step_sz == n_steps - 1, (
+        f"cross-window seed (kept code {cfg.num_frames_code}) falls in step "
+        f"{seed_i // cfg.step_sz}, not the final step {n_steps - 1}; this "
+        f"clip_len/step_sz/num_frames_code geometry is unsupported "
+        f"(need (num_frames_code-1)//step_sz == n_steps-1)")
+    seed_off = seed_i % cfg.step_sz
     last_step = (jnp.arange(Q) % n_steps) == (n_steps - 1)
     if reset_mask is None:
         reset_mask = jnp.zeros((Q,), bool)
@@ -363,9 +374,15 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
 
         # Seed chaining: within a window the next step continues from the
         # last appended code (block[-1]); across a window boundary the seed
-        # is the 30th kept code — block[1] of the final step
-        # (GestureKNN.py:789-802; result[1:31][-1]).
-        next_code = jnp.where(is_last, block[1], block[-1]).astype(jnp.int32)
+        # is the num_frames_code-th kept code — appended code index
+        # num_frames_code-1, which falls at offset seed_off of the final
+        # step's block (GestureKNN.py:789-802; result[1:1+num_frames_code]
+        # [-1]). For the standard 8x4 geometry seed_off == 1; for the
+        # 3600-frame variant (113 steps x 4, 450 kept) it is also 1; the
+        # geometry assert below rejects anything where the kept code is not
+        # in the final block.
+        next_code = jnp.where(is_last, block[seed_off],
+                              block[-1]).astype(jnp.int32)
         return (next_code, out_phase), (block, out_phase, vote)
 
     zeros = jnp.zeros((Q,), dtype=jnp.float32)
@@ -444,6 +461,25 @@ class CodeKNNEngine:
         if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
             rand_np = (rng.rand(W * S) > 0.5).astype(np.int32)
 
+        reset = (None, None, None)
+        if not cfg.chain_windows and W > 1:
+            # mfcc/raw dispatches: windows don't chain — every window w>0
+            # re-seeds with a fresh random init (GestureKNN.py:797,804,806),
+            # implemented with the scan's reset masks. Draw order matches
+            # the oracle: one init_code_phase draw per window, in order.
+            from .oracle import CodeKNNOracle
+            oracle = CodeKNNOracle(self.db)
+            reset_mask = np.zeros((W * S,), bool)
+            reset_code = np.zeros((W * S,), np.int32)
+            reset_phase = np.zeros((W * S, 8, 16), np.float32)
+            for w in range(1, W):
+                code_w, phase_w = oracle.init_code_phase(rng)
+                reset_mask[w * S] = True
+                reset_code[w * S] = code_w
+                if phase_w is not None:
+                    reset_phase[w * S] = phase_w
+            reset = (reset_mask, reset_code, reset_phase)
+
         # one batched transfer for every input
         host_inputs = (
             test_audio if cfg.use_aud else None,
@@ -451,11 +487,11 @@ class CodeKNNEngine:
             np.asarray(init_code),
             np.asarray(init_phase, np.float32) if init_phase is not None
             else np.zeros((8, 16), np.float32),
-            rand_np)
-        ta, tc, ic, ip, rb = jax.device_put(host_inputs)
+            rand_np) + reset
+        ta, tc, ic, ip, rb, rm, rc, rp = jax.device_put(host_inputs)
 
         blocks, phases, votes = _predict_impl(
-            cfg, S, self.dev, self.devdb, ta, tc, ic, ip, rb)
+            cfg, S, self.dev, self.devdb, ta, tc, ic, ip, rb, rm, rc, rp)
         codes = blocks.reshape(W, S * cfg.step_sz)[:, :cfg.num_frames_code]
         return codes.astype(jnp.int32), phases, votes, (W, S)
 
@@ -495,6 +531,18 @@ class CodeKNNEngine:
             reset_mask[q0] = True
             reset_code[q0] = init_codes[c]
             reset_phase[q0] = init_phases[c]
+        if not cfg.chain_windows:
+            # non-chaining modes re-seed every window, not just every clip
+            from .oracle import CodeKNNOracle
+            oracle = CodeKNNOracle(self.db)
+            for c in range(C):
+                for w in range(1, W):
+                    code_w, phase_w = oracle.init_code_phase(rng)
+                    q0 = (c * W + w) * S
+                    reset_mask[q0] = True
+                    reset_code[q0] = code_w
+                    if phase_w is not None:
+                        reset_phase[q0] = phase_w
 
         flat_audio = None if clip_audio is None else \
             clip_audio.reshape((C * W,) + clip_audio.shape[2:])

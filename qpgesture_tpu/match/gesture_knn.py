@@ -99,6 +99,12 @@ def _valid_frames(d: np.ndarray, mask_row: np.ndarray,
     ok = (d != 0.0) & (f_idx <= L - step)
     ok &= (mask_row + np.concatenate(
         [mask_row[step - 1:], np.zeros(step - 1)])[:L]) == 2
+    # The reference's candidate loop runs `while ctr < len(sorted_idx) - 1`
+    # (GestureKNN.py:174) and so never examines the frame that sorts LAST
+    # (the max-distance frame) — a sequence whose only valid frame is that
+    # one is dropped. Replicate with the stable-tie analogue: exclude the
+    # last index among frames achieving the max distance.
+    ok[np.where(d == d.max())[0][-1]] = False
     return ok
 
 
@@ -191,6 +197,12 @@ def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
             + jnp.sum(pose_cur ** 2))
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         ok = static_ok & (d != 0.0) & seq_alive[:, None]
+        # reference off-by-one: the max-distance frame (last in sort order;
+        # stable-tie analogue = last occurrence of the max) is never
+        # examined as a candidate (GestureKNN.py:174) — see _valid_frames
+        last_max = (L - 1) - jnp.argmax(d[:, ::-1] == d.max(
+            axis=1, keepdims=True), axis=1)               # (K,)
+        ok &= f_idx[None, :] != last_max[:, None]
         dm = jnp.where(ok, d, jnp.inf)
         f_sel = jnp.argmin(dm, axis=1)                    # (K,)
         pos_dist = jnp.take_along_axis(dm, f_sel[:, None], axis=1)[:, 0]

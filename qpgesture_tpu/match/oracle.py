@@ -320,6 +320,10 @@ class CodeKNNOracle:
         all_codes, all_phases, all_votes = [], [], []
         seed_code, seed_phase = init_code, init_phase
         for w in range(W):
+            if w > 0 and not cfg.chain_windows:
+                # mfcc/raw dispatches pass no seeds: every window draws a
+                # fresh init (GestureKNN.py:797,804,806 -> :510-522)
+                seed_code, seed_phase = self.init_code_phase(rng)
             aud_tables = None
             if cfg.use_aud:
                 aud_tables = [audio_candidates(db, test_audio[w, s])

@@ -34,7 +34,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # Always invoke make: its mtime check decides whether to recompile, so
+    # a stale .so can never shadow an edited qpg_native.cpp. Keep a stale
+    # binary only if the toolchain is absent and one already exists.
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -75,6 +78,10 @@ def levenshtein_matrix_native(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     lib = get_lib()
     a = np.ascontiguousarray(a, np.int32)
     b = np.ascontiguousarray(b, np.int32)
+    assert a.shape[1] == b.shape[1], (
+        f"shared string length mismatch: {a.shape[1]} vs {b.shape[1]} "
+        "(the C kernel assumes equal-length rows; the NumPy fallback "
+        "handles unequal lengths, so don't rely on it silently)")
     if lib is None:
         from ..ops.levenshtein import levenshtein_matrix_np
         return levenshtein_matrix_np(a, b)

@@ -205,3 +205,73 @@ def test_desired_k_nonzero():
     res0 = engine0.predict(test_audio, None,
                            rng=np.random.RandomState(cfg.seed))
     assert (res0.codes != res_e.codes).any()
+
+
+def _make_long_fixture(rng, n_seq=3, n_test=2, codebook=48,
+                       num_frames=3600, num_frames_code=450):
+    """3600-frame (60 s) single-window fixture: the reference's long-clip
+    mfcc variant (GestureKNN.py:853-854, lmdb_to_noduplication.py:61 — BVH
+    windows of 3600 frames with num_frames_code=450 codes, searched in one
+    search_code_knn call of 113 steps)."""
+    from qpgesture_tpu.core.schemas import CodebookSignature, DatabaseBundle
+    bundle = DatabaseBundle(
+        mfcc=rng.randn(n_seq, num_frames, 14).astype(np.float32))
+    codes = rng.randint(0, codebook,
+                        size=(n_seq, num_frames_code)).astype(np.int32)
+    signature = CodebookSignature(
+        code=np.tile(np.arange(codebook)[:, None], (1, num_frames_code)),
+        poses=rng.randn(codebook, 8, 135).astype(np.float32),
+        signature=rng.randn(codebook, 135).astype(np.float32))
+    test_bundle = DatabaseBundle(
+        mfcc=rng.randn(n_test, num_frames, 14).astype(np.float32))
+    return dict(bundle=bundle, codes=codes, signature=signature,
+                test_bundle=test_bundle)
+
+
+def test_long_clip_3600_parity():
+    """End-to-end 3600-frame matching: staged -> engine == oracle at
+    clip_len=3600 in mfcc ('feat') mode — 113 steps x 4 codes per window,
+    450 kept, cross-window seed at block offset 1 of the final step."""
+    rng = np.random.RandomState(3600)
+    fx = _make_long_fixture(rng)
+    cfg = MatchConfig(**{**MATCH_PRESETS["mfcc"].__dict__,
+                         "codebook_size": 48,
+                         "num_frames": 3600, "num_frames_code": 450})
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"])
+    assert db.geom.n_db_frm == 3600 and db.geom.step_sz == 8.0
+    test_audio = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"])
+    W, S = test_audio.shape[:2]
+    assert (W, S) == (2, 113)  # ceil(3600 / 32) steps per window
+
+    oracle = CodeKNNOracle(db)
+    res_o = oracle.predict(test_audio, None,
+                           rng=np.random.RandomState(cfg.seed))
+    engine = CodeKNNEngine(cfg, db)
+    res_e = engine.predict(test_audio, None,
+                           rng=np.random.RandomState(cfg.seed))
+    assert res_o.codes.shape == (2, 450)
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
+
+
+def test_unsupported_seed_geometry_fails_loudly():
+    """Geometries where the cross-window seed code does not land in the
+    final scan step must raise, not silently diverge from the oracle
+    (previously the engine hard-coded block[1] of the final step and would
+    silently emit wrong seeds for e.g. clip_len=480 on a standard DB)."""
+    rng = np.random.RandomState(77)
+    fx = _make_long_fixture(rng, num_frames=480, num_frames_code=30)
+    cfg = MatchConfig(**{**MATCH_PRESETS["mfcc"].__dict__,
+                         "codebook_size": 48})
+    # standard 240-frame DB, but a 480-frame test clip: 15 steps x 4 codes
+    # appended, 30 kept -> seed code falls in step 7, not step 14
+    import dataclasses
+    db_bundle = dataclasses.replace(fx["bundle"],
+                                    mfcc=fx["bundle"].mfcc[:, :240])
+    db = stage_database(cfg, db_bundle, fx["codes"][:, :30],
+                        fx["signature"])
+    test_audio = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"],
+                                  clip_len=480)
+    engine = CodeKNNEngine(cfg, db)
+    with pytest.raises(AssertionError, match="seed"):
+        engine.predict(test_audio, None,
+                       rng=np.random.RandomState(cfg.seed))

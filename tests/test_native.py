@@ -82,3 +82,33 @@ def test_clips_store_roundtrip(tmp_path, rng):
     ds = store_to_dataset(path, n_poses=40, stride=20)
     direct = WindowedDataset.from_clips(clips, n_poses=40, stride=20)
     np.testing.assert_array_equal(ds.poses, direct.poses)
+
+
+def test_record_store_rejects_truncated(tmp_path, rng):
+    """A truncated/corrupt store must fail to open (the reader validates
+    the tail index against the mapped size), not read out of bounds."""
+    from qpgesture_tpu.utils import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    path = str(tmp_path / "store3.qpg")
+    w = native.RecordStore.create(path)
+    for i in range(5):
+        w.append(bytes([i]) * 100)
+    w.finalize()
+    blob = open(path, "rb").read()
+    # truncate mid-index: tail (n, index_off) now points past the file
+    trunc = str(tmp_path / "trunc.qpg")
+    with open(trunc, "wb") as f:
+        f.write(blob[:len(blob) - 24])
+    import pytest
+    with pytest.raises(OSError):
+        native.RecordStore.open(trunc)
+    # corrupt index_off
+    bad = bytearray(blob)
+    bad[-8:] = (2 ** 62).to_bytes(8, "little")
+    corrupt = str(tmp_path / "corrupt.qpg")
+    with open(corrupt, "wb") as f:
+        f.write(bytes(bad))
+    with pytest.raises(OSError):
+        native.RecordStore.open(corrupt)

@@ -279,3 +279,175 @@ def test_reference_cross_wavvq(cross_setup):
     engine_codes = _run_ours(arrays, "wavvq")
     agreement = (engine_codes == ref).mean()
     assert agreement > 0.25, f"engine agreement suspiciously low: {agreement}"
+
+
+# ----------------------------------------------------------------------
+# mfcc ('feat') mode — the reference's predict_code_from_audio is latently
+# broken there (its dispatch passes use_aud=False so nothing is appended,
+# then phase_output.append(pred_phase) hits an unbound variable), so the
+# working surface is CodeKNN.search_code_knn called directly per window
+# with use_aud=True — which is exactly what the 'mfcc' preset models
+# (fresh random init per window, no seed chaining).
+# ----------------------------------------------------------------------
+
+def _build_feat_files(tmp_path, rng, num_frames, num_frames_code, n_seq,
+                      n_test):
+    """Minimal npz set for feat-mode runs (phase/context present but
+    unused)."""
+    paths = {}
+
+    def bundle(prefix, n):
+        data = dict(
+            mfcc=rng.randn(n, num_frames, 14).astype(np.float32),
+            energy=rng.rand(n, num_frames).astype(np.float32),
+            pitch=rng.rand(n, num_frames).astype(np.float32),
+            volume=rng.rand(n, num_frames).astype(np.float32),
+            context=rng.randn(n, 30, 1, 8).astype(np.float32),
+            phase=np.zeros((2, 2, 4), np.float32),
+            body=np.zeros((2, 2, 2), np.float32),
+            wav=np.zeros((2, 2), np.float32),
+            txt=np.zeros(2), aux=np.zeros(2))
+        p = str(tmp_path / f"{prefix}_txt_2.npz")
+        np.savez_compressed(p, **data)
+        return p, data
+
+    paths["train_db"], train_data = bundle("train", n_seq)
+    paths["test_db"], test_data = bundle("test", n_test)
+    codes = rng.randint(0, 512, size=(n_seq, num_frames_code)
+                        ).astype(np.int64)
+    paths["code"] = str(tmp_path / "train_code.npz")
+    np.savez_compressed(paths["code"], code=codes)
+    signature = rng.randn(512, 135).astype(np.float64)
+    paths["signature"] = str(tmp_path / "code.npz")
+    np.savez_compressed(paths["signature"], signature=signature,
+                        code=np.zeros((512, 30)), poses=np.zeros((2, 2, 2)))
+    # wavlm is unused in feat mode, but load_db_codebook interpolates it to
+    # (frames // num_frames_code) * num_frames_code, which must be > 0
+    wavlm_frames = max(199, num_frames_code)
+    for k, n in (("train_wavlm", n_seq), ("test_wavlm", n_test)):
+        paths[k] = str(tmp_path / f"{k}.npz")
+        np.savez_compressed(
+            paths[k],
+            wavlm=rng.randn(n, wavlm_frames, 4).astype(np.float32))
+    for k, n in (("train_wavvq", n_seq), ("test_wavvq", n_test)):
+        paths[k] = str(tmp_path / f"{k}.npz")
+        np.savez_compressed(
+            paths[k], wavvq=rng.randint(0, 320, size=(n, 398, 2)))
+    arrays = dict(codes=codes, signature=signature, train_data=train_data,
+                  test_data=test_data)
+    return paths, arrays
+
+
+def _run_reference_feat(paths, num_frames, num_frames_code, seed):
+    """Import the reference with (optionally patched) frame constants and
+    run CodeKNN.search_code_knn per window in feat mode."""
+    gk = _import_reference(paths)
+    if num_frames != 240:
+        # the reference's long-window variant is driven by editing
+        # constant.py (num_frames=3600, num_frames_code=450); reproduce
+        # that by patching the module and re-importing GestureKNN so its
+        # `from constant import ...` picks up the new values
+        constant = sys.modules["constant"]
+        constant.num_frames = num_frames
+        constant.num_frames_code = num_frames_code
+        del sys.modules["GestureKNN"]
+        gk = importlib.import_module("GestureKNN")
+
+    from data_processing import load_db_codebook
+    (train_mfcc, train_code, test_mfcc, train_feat, test_feat, train_wavlm,
+     test_wavlm, train_wavlm_feat, test_wavlm_feat, speech_features,
+     test_speech_features, train_sff, test_sff, train_wavvq_feat,
+     test_wavvq_feat, train_phase, test_phase, train_context,
+     test_context) = load_db_codebook(
+        paths["train_db"], paths["code"], paths["test_db"],
+        paths["train_wavlm"], paths["test_wavlm"], paths["train_wavvq"],
+        paths["test_wavvq"])
+    from utils import normalize_data
+    mm, ms = gk.calc_data_stats(train_mfcc.transpose((0, 2, 1)))
+    fm, fs = gk.calc_data_stats(train_feat.transpose((0, 2, 1)))
+    norm_mfcc_train = normalize_data(train_mfcc, mm, ms).transpose((0, 2, 1))
+    norm_feat_train = normalize_data(train_feat, fm, fs).transpose((0, 2, 1))
+    norm_feat_test = normalize_data(test_feat, fm, fs).transpose((0, 2, 1))
+
+    knn = gk.CodeKNN(
+        mfcc_train=norm_mfcc_train, code_train=train_code,
+        feat_train=norm_feat_train, wavlm_train=train_wavlm,
+        wavlm_train_feat=train_wavlm_feat, speech_features=speech_features,
+        speech_features_feat=train_sff, wavvq_train_feat=train_wavvq_feat,
+        phase_train=train_phase, context_train=train_context,
+        use_wavlm=False, use_wavvq=False, use_phase=False, use_txt=False)
+    np.random.seed(seed)
+    out = []
+    for w in range(norm_feat_test.shape[0]):
+        codes, _ = knn.search_code_knn(
+            clip_test=norm_feat_test[w], desired_k=0, use_wavlm=False,
+            use_feature=True, use_freq=False, use_aud=True)
+        out.append(np.asarray(codes, np.int64))
+    return np.stack(out)
+
+
+def _run_ours_feat(arrays, num_frames, num_frames_code, seed, engine=True):
+    from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
+    from qpgesture_tpu.core.schemas import CodebookSignature, DatabaseBundle
+    from qpgesture_tpu.match.database import stage_database, stage_test_audio
+    from qpgesture_tpu.match.engine import CodeKNNEngine
+    from qpgesture_tpu.match.oracle import CodeKNNOracle
+
+    cfg = MatchConfig(**{**MATCH_PRESETS["mfcc"].__dict__,
+                         "num_frames": num_frames,
+                         "num_frames_code": num_frames_code})
+    assert not cfg.chain_windows
+    bundle = DatabaseBundle(mfcc=arrays["train_data"]["mfcc"])
+    signature = CodebookSignature(code=np.zeros((512, 30)),
+                                  poses=np.zeros((2, 2, 2)),
+                                  signature=arrays["signature"])
+    db = stage_database(cfg, bundle, arrays["codes"].astype(np.int32),
+                        signature)
+    test_bundle = DatabaseBundle(mfcc=arrays["test_data"]["mfcc"])
+    test_audio = stage_test_audio(cfg, db, test_bundle=test_bundle)
+    runner = CodeKNNEngine(cfg, db) if engine else CodeKNNOracle(db)
+    return runner.predict(test_audio, None,
+                          rng=np.random.RandomState(seed)).codes
+
+
+def test_reference_cross_feat_240():
+    """feat (stacked-MFCC cosine) mode, standard 240-frame windows: both
+    the oracle and the device engine select bit-identical indices to the
+    actual reference CodeKNN, including the per-window fresh random init
+    (no seed chaining in this dispatch)."""
+    rng = np.random.RandomState(31337)
+    tmp = pytest.importorskip("pathlib").Path("/tmp/qpg_refcross_feat240")
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    paths, arrays = _build_feat_files(tmp, rng, 240, 30, n_seq=6, n_test=3)
+    ref = _run_reference_feat(paths, 240, 30, seed=123456)
+    ours_e = _run_ours_feat(arrays, 240, 30, seed=123456, engine=True)
+    ours_o = _run_ours_feat(arrays, 240, 30, seed=123456, engine=False)
+    np.testing.assert_array_equal(ours_o, ref)
+    np.testing.assert_array_equal(ours_e, ref)
+
+
+def test_reference_cross_feat_3600():
+    """The long-clip variant (GestureKNN.py:853-854): 3600-frame windows,
+    450 codes, 113 search steps — cross-validated against the actual
+    reference running with patched constant.py frame counts."""
+    rng = np.random.RandomState(99)
+    import pathlib
+    import shutil
+    tmp = pathlib.Path("/tmp/qpg_refcross_feat3600")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    paths, arrays = _build_feat_files(tmp, rng, 3600, 450, n_seq=3,
+                                      n_test=1)
+    try:
+        ref = _run_reference_feat(paths, 3600, 450, seed=123456)
+    finally:
+        # un-patch for any later reference import in this process
+        if "constant" in sys.modules:
+            sys.modules["constant"].num_frames = 240
+            sys.modules["constant"].num_frames_code = 30
+        sys.modules.pop("GestureKNN", None)
+    assert ref.shape == (1, 450)
+    ours = _run_ours_feat(arrays, 3600, 450, seed=123456, engine=True)
+    np.testing.assert_array_equal(ours, ref)

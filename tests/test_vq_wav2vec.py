@@ -122,6 +122,13 @@ def _random_state_dict(oracle, rng):
     return sd
 
 
+def _fake_fairseq_sd(rng, depth=1):
+    """Random weights in fairseq key layout as numpy (for on-disk checkpoint
+    fixtures, e.g. tests/test_generate_cli.py)."""
+    oracle = _VQWav2VecOracle(VQWav2VecConfig(weight_proj_depth=depth))
+    return {k: v.numpy() for k, v in _random_state_dict(oracle, rng).items()}
+
+
 # ----------------------------------------------------------------------
 # equivalence tests
 # ----------------------------------------------------------------------
