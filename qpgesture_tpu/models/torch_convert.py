@@ -133,9 +133,42 @@ def convert_pae(state_dict: Dict, phase_channels: int = 8) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def load_pae_checkpoint(path: str, phase_channels: int = 8):
+def _torch_load_reference(path: str):
+    """torch.load for reference checkpoints, tolerant of the pickled
+    EasyDict config. The reference saves {'args': EasyDict, 'epoch',
+    'model_dict'} (train.py:114-116); unpickling the args requires the
+    easydict package, which a converting user may not have — synthesize an
+    equivalent shim module so the load succeeds regardless."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as e:
+        if "easydict" not in str(e):
+            raise
+        import sys
+        import types
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        mod = types.ModuleType("easydict")
+        mod.EasyDict = EasyDict
+        sys.modules["easydict"] = mod
+        try:
+            return torch.load(path, map_location="cpu", weights_only=False)
+        finally:
+            sys.modules.pop("easydict", None)
+
+
+def load_pae_checkpoint(path: str, phase_channels: int = 8):
+    ckpt = _torch_load_reference(path)
     sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
     return convert_pae(sd, phase_channels)
 
@@ -179,15 +212,13 @@ def convert_generator_gru(state_dict: Dict, hidden: int = 200,
 
 
 def load_generator_gru_checkpoint(path: str):
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_reference(path)
     sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
     return convert_generator_gru(sd)
 
 
 def load_vqvae_checkpoint(path: str, cfg: VQVAEConfig):
     """Load a reference .bin checkpoint (torch pickle) and convert."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_reference(path)
     sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
     return convert_vqvae(sd, cfg)
