@@ -575,6 +575,50 @@ class CodeKNNEngine:
                                         votes=votes_np))
         return results
 
+    # Serving buckets: clip lengths (in 4 s windows) are padded up to the
+    # next bucket so arbitrary-length clips hit a warm compile cache
+    # instead of paying a per-shape XLA compile (the W dimension is the
+    # only clip-dependent shape; S is fixed per audio mode).
+    BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+    def predict_bucketed(self, test_audio: Optional[np.ndarray],
+                         test_context: Optional[np.ndarray] = None,
+                         init_code: Optional[int] = None,
+                         init_phase: Optional[np.ndarray] = None,
+                         rng: Optional[np.random.RandomState] = None,
+                         buckets: Optional[tuple] = None) -> OracleResult:
+        """predict() with the window count padded to a fixed bucket.
+
+        Padded windows are appended AFTER the real ones, so the sequential
+        seed chain through the real windows is untouched and their outputs
+        are simply discarded; two clips landing in the same bucket share
+        one compiled program. Identical results to predict()."""
+        buckets = buckets or self.BUCKETS
+        lead = test_audio if test_audio is not None else test_context
+        W = lead.shape[0]
+        Wb = next((b for b in buckets if b >= W), None)
+        if Wb is None:  # beyond the largest bucket: round up to a multiple
+            step = buckets[-1]
+            Wb = ((W + step - 1) // step) * step
+
+        def _pad(x):
+            if x is None or Wb == W:
+                return x
+            reps = np.repeat(x[-1:], Wb - W, axis=0)
+            return np.concatenate([x, reps], axis=0)
+
+        codes_d, phases_d, votes_d, (_, S) = self.predict_device(
+            _pad(test_audio), _pad(test_context), init_code, init_phase, rng)
+        codes, phases, votes = jax.device_get((codes_d, phases_d, votes_d))
+        cfg = self.cfg
+        codes = np.asarray(codes, np.int32)[:W]
+        phases_np = None
+        if cfg.use_phase:
+            phases_np = np.asarray(phases).reshape(Wb, S, 8, 16)[:W, -1]
+        votes_np = np.asarray(votes).reshape(Wb, S)[:W] \
+            if (cfg.use_phase and cfg.use_aud and cfg.use_txt) else None
+        return OracleResult(codes=codes, phases=phases_np, votes=votes_np)
+
     def predict(self, test_audio: Optional[np.ndarray],
                 test_context: Optional[np.ndarray] = None,
                 init_code: Optional[int] = None,

@@ -275,3 +275,46 @@ def test_unsupported_seed_geometry_fails_loudly():
     with pytest.raises(AssertionError, match="seed"):
         engine.predict(test_audio, None,
                        rng=np.random.RandomState(cfg.seed))
+
+
+def test_bucketed_serving_no_recompile():
+    """Two clips of different window counts in the same bucket must (a)
+    produce codes identical to the unbucketed path and (b) share ONE
+    compiled program (zero recompiles for the second clip)."""
+    from qpgesture_tpu.match import engine as engine_mod
+
+    rng = np.random.RandomState(5150)
+    fx = make_fixture(rng, n_seq=4, n_test=4, codebook=48)
+    cfg = MatchConfig(**{**MATCH_PRESETS["shipped"].__dict__,
+                         "codebook_size": 48})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+
+    # clips of 3 and 4 windows -> both land in the 4-window bucket
+    clip_a = (test_audio[:3], test_context[:3])
+    clip_b = (test_audio[:4], test_context[:4])
+
+    want_a = engine.predict(*clip_a, rng=np.random.RandomState(cfg.seed))
+    want_b = engine.predict(*clip_b, rng=np.random.RandomState(cfg.seed))
+
+    got_a = engine.predict_bucketed(*clip_a,
+                                    rng=np.random.RandomState(cfg.seed))
+    size_after_first = engine_mod._predict_impl._cache_size()
+    got_b = engine.predict_bucketed(*clip_b,
+                                    rng=np.random.RandomState(cfg.seed))
+    size_after_second = engine_mod._predict_impl._cache_size()
+
+    assert size_after_second == size_after_first, \
+        "second clip in the same bucket triggered a recompile"
+    np.testing.assert_array_equal(got_a.codes, want_a.codes)
+    np.testing.assert_array_equal(got_b.codes, want_b.codes)
+    np.testing.assert_allclose(got_a.phases, want_a.phases, atol=1e-6)
+
+    # a 5-window clip overflows into the next bucket (one new compile, and
+    # still exact)
+    want_c = engine.predict(test_audio[:5] if len(test_audio) >= 5 else
+                            test_audio, test_context[:5],
+                            rng=np.random.RandomState(cfg.seed))
+    got_c = engine.predict_bucketed(test_audio[:5], test_context[:5],
+                                    rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got_c.codes, want_c.codes)
