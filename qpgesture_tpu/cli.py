@@ -341,6 +341,12 @@ def cmd_build_db(args):
             print(f"skip {name}")
             continue
         wav_path = os.path.join(args.wav_dir, name + ".wav")
+        # raw 44.1 kHz (or stereo/24-bit) input converts automatically —
+        # the reference requires a manual ffmpeg-normalize pass first
+        # (normalize_audio.py:5-13)
+        from .pipelines.audio_prep import ensure_16k_wav
+        wav_path = ensure_16k_wav(wav_path,
+                                  os.path.join(args.out, "_audio16k"))
         with wavemod.open(wav_path) as f:
             assert f.getframerate() == 16000, f"{wav_path}: expected 16 kHz"
             wav = (np.frombuffer(f.readframes(f.getnframes()), np.int16)
@@ -350,6 +356,17 @@ def cmd_build_db(args):
             tpath = os.path.join(args.transcript_dir, name + ".txt")
             if os.path.exists(tpath):
                 words = read_tab_transcript(tpath)
+                if not words and args.gentle:
+                    # raw (unaligned) text: drive a gentle run
+                    # (align_words, process_beat_txt.py:49-81)
+                    from .pipelines.transcripts import (GentleUnavailable,
+                                                        run_gentle)
+                    try:
+                        words = run_gentle(wav_path,
+                                           open(tpath, encoding="utf-8")
+                                           .read())
+                    except GentleUnavailable as e:
+                        print(f"{name}: gentle alignment skipped ({e})")
         bvh = parse_bvh(bvh_path)
         if pipeline is None:
             pipeline = MotionPipeline(fps=args.fps).fit(bvh)
@@ -506,6 +523,69 @@ def cmd_train_end2end(args):
         save_checkpoint(args.out, state, name="latest")
 
 
+def cmd_train_resync(args):
+    """ResyncNet WGAN-GP training (train_resync_gestureknn.py:108-187):
+    data npz holds x_knn / x_real as (N, T, n_mfcc + n_joints) —
+    KNN-searched motion windows with their audio features vs ground-truth
+    windows."""
+    import jax
+    from .core.config import ResyncConfig, load_config
+    from .train.train_resync import ResyncTrainer
+
+    conf = load_config(args.config) if args.config else None
+    cfg = conf.resync if conf and getattr(conf, "resync", None) \
+        else ResyncConfig()
+    data = np.load(args.data)
+    x_knn = data["knn"].astype(np.float32)
+    x_real = data["real"].astype(np.float32)
+    assert x_knn.shape == x_real.shape, (x_knn.shape, x_real.shape)
+    n, t, c = x_knn.shape
+    n_joints = args.n_joints
+    trainer = ResyncTrainer(cfg, n_mfcc=c - n_joints, n_joints=n_joints,
+                            num_frames=t)
+    state = trainer.init_state(jax.random.PRNGKey(0), num_frames=t)
+    rng = np.random.RandomState(0)
+    iters = args.iters or cfg.max_iters
+    bs = min(args.batch_size or cfg.batch_size, n)
+    for it in range(iters):
+        idx = rng.randint(0, n, size=bs)
+        state, logs = trainer.train_iteration(
+            state, x_knn[idx], x_real[idx], jax.random.PRNGKey(it), it)
+        if it % max(1, iters // 10) == 0:
+            print(f"iter {it}: " + " ".join(f"{k} {v:.4f}"
+                                            for k, v in logs.items()))
+    if args.out:
+        from .train.checkpoints import save_checkpoint
+        save_checkpoint(args.out, state, name="latest")
+        print(f"saved {args.out}")
+
+
+def cmd_assemble_beat(args):
+    """BEAT step-1 assembly (make_beat_dataset.py:17-96): orig-BEAT tree ->
+    <out>/{Audio,Motion} with paired recordings only and repaired BVH
+    Frames headers; optional resample/normalize of the copied audio."""
+    import glob
+    import os
+
+    from .pipelines.audio_prep import normalize_wav, resample_wav
+    from .pipelines.beat_assembly import assemble_beat_dataset
+
+    summary = assemble_beat_dataset(args.orig_root, args.out,
+                                    speakers=args.speakers)
+    print(f"copied {summary['n_pairs']} paired recordings; repaired "
+          f"{len(summary['repaired'])} BVH headers")
+    if args.normalize or args.resample:
+        out_dir = os.path.join(args.out, "Audio_normalized"
+                               if args.normalize else "Audio_16k")
+        backend = None
+        for wav in sorted(glob.glob(
+                os.path.join(summary["audio_dir"], "*.wav"))):
+            dst = os.path.join(out_dir, os.path.basename(wav))
+            backend = (normalize_wav(wav, dst) if args.normalize
+                       else resample_wav(wav, dst))
+        print(f"audio prepared into {out_dir} (backend: {backend})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="qpgesture_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -607,6 +687,9 @@ def main(argv=None):
                     help="sentence-transformers model path for context")
     bd.add_argument("--hashed-context", action="store_true",
                     help="deterministic hashed embeddings (air-gapped)")
+    bd.add_argument("--gentle", action="store_true",
+                    help="align raw-text transcripts with gentle "
+                         "($GENTLE_URL or $GENTLE_CMD)")
     bd.set_defaults(fn=cmd_build_db)
 
     ph = sub.add_parser("phase", help="extract PAE phases for Rotation/*.npz")
@@ -631,6 +714,31 @@ def main(argv=None):
     te.add_argument("--epochs", type=int)
     te.add_argument("--batch-size", type=int, default=32)
     te.set_defaults(fn=cmd_train_end2end)
+
+    tr = sub.add_parser("train-resync",
+                        help="train the ResyncNet WGAN-GP refiner")
+    tr.add_argument("--data", required=True,
+                    help="npz with knn/real (N, T, n_mfcc+n_joints) arrays")
+    tr.add_argument("--config")
+    tr.add_argument("--n-joints", type=int, default=135)
+    tr.add_argument("--iters", type=int)
+    tr.add_argument("--batch-size", type=int)
+    tr.add_argument("--out")
+    tr.set_defaults(fn=cmd_train_resync)
+
+    ab = sub.add_parser("assemble-beat",
+                        help="step-1 orig-BEAT assembly: copy paired "
+                             "wav/bvh + repair Frames headers")
+    ab.add_argument("--orig-root", required=True)
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--speakers", nargs="*",
+                    help="restrict to these speaker ids")
+    ab.add_argument("--resample", action="store_true",
+                    help="also produce Audio_16k/ (ffmpeg/sox/python)")
+    ab.add_argument("--normalize", action="store_true",
+                    help="also produce Audio_normalized/ "
+                         "(ffmpeg-normalize equivalent)")
+    ab.set_defaults(fn=cmd_assemble_beat)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -42,6 +42,11 @@ class VQVAEConfig:
     # "highest" = true f32 (checkpoint parity); "default" = bf16 multiplies
     # with f32 accumulate (TPU training speed point).
     conv_precision: str = "highest"
+    # Opt-in activation checkpointing of the residual conv blocks
+    # (nn.remat): trades recompute for activation memory, matching the
+    # reference's checkpoint_res (models/utils/checkpoint.py:4-32, wired at
+    # resnet.py:63-75). Off by default, like the reference.
+    checkpoint_res: bool = False
 
     @property
     def hop_length(self) -> int:

@@ -115,6 +115,10 @@ class Resnet1D(nn.Module):
     reverse_dilation: bool = False
     res_scale: bool = False
     precision: str = "highest"
+    # activation checkpointing per residual block (reference checkpoint_res,
+    # resnet.py:63-75): recompute the block in the backward pass instead of
+    # storing its activations
+    checkpoint_res: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -126,8 +130,10 @@ class Resnet1D(nn.Module):
         depths = list(range(self.n_depth))
         if self.reverse_dilation:
             depths = depths[::-1]
+        block_cls = nn.remat(ResConv1DBlock) if self.checkpoint_res \
+            else ResConv1DBlock
         for i, depth in enumerate(depths):
-            x = ResConv1DBlock(
+            x = block_cls(
                 self.n_in, int(self.m_conv * self.n_in),
                 dilation=self.dilation_growth_rate ** get_depth(depth),
                 res_scale=scale, precision=self.precision,
@@ -146,6 +152,7 @@ class EncoderConvBlock(nn.Module):
     dilation_growth_rate: int = 1
     dilation_cycle: int | None = None
     precision: str = "highest"
+    checkpoint_res: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -157,6 +164,7 @@ class EncoderConvBlock(nn.Module):
             x = Resnet1D(self.width, self.depth, self.m_conv,
                          self.dilation_growth_rate, self.dilation_cycle,
                          precision=self.precision,
+                         checkpoint_res=self.checkpoint_res,
                          name=f"down{i}_resnet")(x)
         x = Conv1dTorch(self.output_emb_width, 3, 1, 1,
                         precision=self.precision, name="proj")(x)
@@ -175,6 +183,7 @@ class DecoderConvBlock(nn.Module):
     dilation_cycle: int | None = None
     reverse_decoder_dilation: bool = False
     precision: str = "highest"
+    checkpoint_res: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -186,6 +195,7 @@ class DecoderConvBlock(nn.Module):
                          self.dilation_growth_rate, self.dilation_cycle,
                          reverse_dilation=self.reverse_decoder_dilation,
                          precision=self.precision,
+                         checkpoint_res=self.checkpoint_res,
                          name=f"up{i}_resnet")(x)
             out_ch = self.input_emb_width if i == self.down_t - 1 \
                 else self.width
@@ -214,6 +224,7 @@ class Encoder(nn.Module):
                 dilation_growth_rate=cfg.dilation_growth_rate,
                 dilation_cycle=cfg.dilation_cycle,
                 precision=cfg.conv_precision,
+                checkpoint_res=cfg.checkpoint_res,
                 name=f"level{level}")(x)
             xs.append(x)
         return xs
@@ -235,6 +246,7 @@ class Decoder(nn.Module):
             dilation_cycle=cfg.dilation_cycle,
             reverse_decoder_dilation=cfg.vqvae_reverse_decoder_dilation,
             precision=cfg.conv_precision,
+            checkpoint_res=cfg.checkpoint_res,
             name="level0")(x)
         x = Conv1dTorch(cfg.input_dim, 3, 1, 1,
                         precision=cfg.conv_precision, name="out")(x)

@@ -51,3 +51,106 @@ def normalize_word(word: str) -> str:
     strip non-alphanumerics except apostrophes."""
     return "".join(ch for ch in word.lower()
                    if ch.isalnum() or ch == "'").strip()
+
+
+class GentleUnavailable(RuntimeError):
+    """Raised when no gentle backend (HTTP server or CLI) is configured or
+    reachable; callers treat alignment as skippable (the reference requires
+    a local gentle checkout, process_beat_txt.py:12-14)."""
+
+
+def _words_from_gentle_payload(data: dict) -> List[Word]:
+    """Reference assembly semantics (align_words,
+    process_beat_txt.py:66-72): successful words keep their own timestamps;
+    interior failed words are interpolated from neighbors
+    (prev.end, next.start); edge failures are dropped."""
+    words = data.get("words", [])
+    out: List[Word] = []
+    for i, w in enumerate(words):
+        if w.get("case") == "success":
+            out.append((float(w["start"]), float(w["end"]),
+                        w.get("alignedWord") or w.get("word", "")))
+        elif 0 < i < len(words) - 1:
+            prev, nxt = words[i - 1], words[i + 1]
+            if "end" in prev and "start" in nxt:
+                out.append((float(prev["end"]), float(nxt["start"]),
+                            w.get("word", "")))
+    return [w for w in out if w[2]]
+
+
+def run_gentle(wav_path: str, transcript_text: str,
+               server_url: str = None, gentle_cmd: str = None,
+               timeout: float = 600.0) -> List[Word]:
+    """Drive a gentle forced-alignment run (the orchestration the reference
+    does in-process via gentle.ForcedAligner, process_beat_txt.py:62-65).
+
+    server_url: a running gentle HTTP service (its standard
+        /transcriptions?async=false API);
+    gentle_cmd: path to gentle's align.py (or any CLI printing gentle JSON
+        to stdout, invoked as `cmd wav txtfile`).
+    Environment fallbacks: $GENTLE_URL / $GENTLE_CMD. Raises
+    GentleUnavailable when neither is configured.
+    """
+    import os
+    import subprocess
+    import tempfile
+
+    server_url = server_url or os.environ.get("GENTLE_URL")
+    gentle_cmd = gentle_cmd or os.environ.get("GENTLE_CMD")
+
+    if server_url:
+        import urllib.request
+        boundary = "----qpgentle"
+        with open(wav_path, "rb") as f:
+            audio = f.read()
+        parts = []
+        parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f"name=\"transcript\"\r\n\r\n{transcript_text}\r\n"
+                     .encode())
+        parts.append(f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f"name=\"audio\"; filename=\"a.wav\"\r\n"
+                     f"Content-Type: audio/wav\r\n\r\n".encode()
+                     + audio + b"\r\n")
+        parts.append(f"--{boundary}--\r\n".encode())
+        body = b"".join(parts)
+        req = urllib.request.Request(
+            server_url.rstrip("/") + "/transcriptions?async=false",
+            data=body, headers={"Content-Type":
+                                f"multipart/form-data; boundary={boundary}"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = json.loads(resp.read().decode())
+        except Exception as e:
+            raise GentleUnavailable(f"gentle server {server_url}: {e}")
+        return _words_from_gentle_payload(data)
+
+    if gentle_cmd:
+        with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                         delete=False) as tf:
+            tf.write(transcript_text)
+            txt_path = tf.name
+        try:
+            proc = subprocess.run(
+                gentle_cmd.split() + [wav_path, txt_path],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                timeout=timeout, text=True)
+        except (subprocess.TimeoutExpired, OSError) as e:
+            raise GentleUnavailable(f"gentle cmd {gentle_cmd!r}: {e}")
+        if proc.returncode != 0:
+            raise GentleUnavailable(
+                f"gentle cmd failed rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}")
+        return _words_from_gentle_payload(json.loads(proc.stdout))
+
+    raise GentleUnavailable(
+        "no gentle backend: set GENTLE_URL (HTTP service) or GENTLE_CMD "
+        "(align.py path), or pass server_url/gentle_cmd")
+
+
+def align_recording(wav_path: str, transcript_text: str, out_txt: str,
+                    **kw) -> List[Word]:
+    """run_gentle + write the reference's tab format
+    (align_words, process_beat_txt.py:74-81)."""
+    words = run_gentle(wav_path, transcript_text, **kw)
+    write_tab_transcript(out_txt, words)
+    return words

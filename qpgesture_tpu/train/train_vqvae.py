@@ -9,6 +9,8 @@ replicas (the collectives the reference stubs out, bottleneck.py:75-77).
 """
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, replace
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -130,15 +132,26 @@ class VQVAETrainer:
     # -- loop ---------------------------------------------------------------
     def fit(self, state: TrainState, train_batches, val_batches=None,
             epochs: Optional[int] = None, rng: Optional[jax.Array] = None,
-            log_every: int = 50, checkpoint_dir: Optional[str] = None):
+            log_every: int = 50, checkpoint_dir: Optional[str] = None,
+            history_path: Optional[str] = None):
         """Simple epoch loop over in-memory batch iterables; mirrors the
-        best-validation selection of train.py:94-117."""
+        best-validation selection of train.py:94-117.
+
+        history_path: JSONL scalar-history sink (loss + the codebook health
+        metrics fit/entropy/usage/dk per logged step, val_err per epoch) —
+        the persistent equivalent of the reference's TensorBoard scalars
+        (train.py:90-100). Defaults to <checkpoint_dir>/scalars.jsonl when
+        checkpointing."""
         import logging
 
+        from ..utils.metrics_log import ScalarHistory
         from .data import device_prefetch
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         best = (float("inf"), 0)
         epochs = epochs or self.cfg.epochs
+        if history_path is None and checkpoint_dir:
+            history_path = os.path.join(checkpoint_dir, "scalars.jsonl")
+        hist = ScalarHistory(history_path) if history_path else None
         for epoch in range(1, epochs + 1):
             if val_batches is not None:
                 errs = [self.eval_step(state, b)[1] for b in val_batches]
@@ -150,6 +163,9 @@ class VQVAETrainer:
                         save_checkpoint(checkpoint_dir, state, name="best")
                 logging.info("epoch %d val_err %.5f (best %.5f @ %d)",
                              epoch, val_err, best[0], best[1])
+                if hist:
+                    hist.log(epoch=epoch, val_err=val_err,
+                             best_val_err=best[0])
             for bi, batch in enumerate(device_prefetch(train_batches)):
                 rng, sub = jax.random.split(rng)
                 state, loss, metrics = self.train_step(state, batch, sub)
@@ -162,7 +178,13 @@ class VQVAETrainer:
                 if bi % log_every == 0:
                     logging.info("epoch %d step %d loss %.5f", epoch, bi,
                                  float(loss))
+                    if hist:
+                        hist.log(epoch=epoch, step=bi, loss=float(loss),
+                                 **{k: float(np.asarray(v))
+                                    for k, v in metrics.items()})
             if checkpoint_dir and epoch % self.cfg.save_per_epochs == 0:
                 from .checkpoints import save_checkpoint
                 save_checkpoint(checkpoint_dir, state, name=f"{epoch:03d}")
+        if hist:
+            hist.close()
         return state, best
