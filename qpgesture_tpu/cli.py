@@ -486,10 +486,17 @@ def cmd_train_pae(args):
     trainer = PAETrainer(conf.pae, steps_per_epoch=max(len(batches), 1))
     state = trainer.init_state(jax.random.PRNGKey(0))
     epochs = args.epochs or conf.pae.epochs
+    hist = None
+    if args.out:
+        from .utils.metrics_log import ScalarHistory
+        import os
+        hist = ScalarHistory(os.path.join(args.out, "scalars.jsonl"))
     for epoch in range(epochs):
         for batch in batches:
             state, loss = trainer.train_step(state, batch)
         print(f"epoch {epoch}: loss {float(loss):.5f}")
+        if hist:
+            hist.log(epoch=epoch, loss=float(loss))
         if args.out and (epoch + 1) % conf.pae.save_per_epochs == 0:
             from .train.checkpoints import save_checkpoint
             save_checkpoint(args.out, state, name=f"{epoch:03d}")
@@ -512,12 +519,19 @@ def cmd_train_end2end(args):
     state = trainer.init_state(jax.random.PRNGKey(0))
     epochs = args.epochs or conf.end2end.epochs
     rng = jax.random.PRNGKey(1)
+    hist = None
+    if args.out:
+        from .utils.metrics_log import ScalarHistory
+        import os
+        hist = ScalarHistory(os.path.join(args.out, "scalars.jsonl"))
     for epoch in range(epochs):
         for wav, codes in ds.batches(args.batch_size, seed=epoch,
                                      include=("audio", "codes")):
             rng, sub = jax.random.split(rng)
             state, loss = trainer.train_step(state, wav, codes, sub)
         print(f"epoch {epoch}: loss {float(loss):.5f}")
+        if hist:
+            hist.log(epoch=epoch, loss=float(loss))
     if args.out:
         from .train.checkpoints import save_checkpoint
         save_checkpoint(args.out, state, name="latest")
