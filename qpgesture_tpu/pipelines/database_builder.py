@@ -77,7 +77,12 @@ def process_recording(name: str, bvh: BVHData, wav: np.ndarray,
 
     mfcc = sphinx_mfcc_np(wav, MFCCConfig(frate=fps)).astype(np.float32)
     energy = interp_to_fps(get_energy(wav, sr=sr), T).astype(np.float32)
-    pitch = interp_to_fps(get_pitch(wav, sr=sr), T).astype(np.float32)
+    # WORLD dio+stonemask pitch with the reference's exact flags
+    # (make_beat_dataset.py:170: log=True, norm=False)
+    from .pitch_world import get_pitch_world
+    pitch = interp_to_fps(
+        get_pitch_world(wav, sr=sr, log=True, norm=False), T
+    ).astype(np.float32)
     wav16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
     volume = interp_to_fps(cal_volume(wav16), T).astype(np.float32)
     return Recording(name=name, rotation=rotation,

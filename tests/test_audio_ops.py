@@ -167,3 +167,57 @@ def test_generator_gru_conversion(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-3)
     corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
     assert corr > 0.9999
+
+
+# ----------------------------------------------------------------------
+# WORLD DIO + StoneMask transcription (pipelines/pitch_world.py)
+# ----------------------------------------------------------------------
+
+def _voiced_signal(rng, f0_hz=150.0, vibrato=5.0, secs=2.0, sr=16000):
+    t = np.arange(int(sr * secs)) / sr
+    f0_true = f0_hz + vibrato * np.sin(2 * np.pi * 2 * t)
+    phase = 2 * np.pi * np.cumsum(f0_true) / sr
+    sig = sum((1.0 / k) * np.sin(k * phase) for k in range(1, 6))
+    sig = sig + 0.01 * rng.randn(len(sig))
+    return sig.astype(np.float64), t, f0_true
+
+
+@pytest.mark.parametrize("f0_hz", [110.0, 150.0, 220.0, 330.0])
+def test_world_dio_tracks_f0(rng, f0_hz):
+    from qpgesture_tpu.pipelines.pitch_world import dio, stonemask
+    sig, t, f0_true = _voiced_signal(rng, f0_hz=f0_hz)
+    f0, pos = dio(sig, 16000, frame_period=16.0)
+    refined = stonemask(sig, f0, pos, 16000)
+    mid = f0 > 0
+    mid[:8] = False
+    mid[-8:] = False
+    assert mid.mean() > 0.8, "voiced signal mostly detected as voiced"
+    want = np.interp(pos[mid], t, f0_true)
+    assert np.abs(f0[mid] - want).mean() < 2.0
+    # stonemask must not degrade the dio estimate
+    assert np.abs(refined[mid] - want).mean() <= \
+        np.abs(f0[mid] - want).mean() + 0.05
+
+
+def test_world_dio_unvoiced_is_zero(rng):
+    from qpgesture_tpu.pipelines.pitch_world import dio
+    noise = rng.randn(16000)
+    f0, _ = dio(noise, 16000, frame_period=16.0)
+    assert (f0 > 0).mean() < 0.1
+    silence = np.zeros(16000)
+    f0s, _ = dio(silence, 16000, frame_period=16.0)
+    assert (f0s == 0).all()
+
+
+def test_world_pitch_reference_contract(rng):
+    """get_pitch_world follows speech_feat.get_pitch's output contract:
+    per-hop frames, log'd (unvoiced -> log(eps)), norm off by default in
+    the DB builder (make_beat_dataset.py:170)."""
+    from qpgesture_tpu.pipelines.pitch_world import get_pitch_world
+    sig, _, _ = _voiced_signal(rng, secs=1.0)
+    p = get_pitch_world(sig, sr=16000, hop=256, log=True, norm=False)
+    n_expected = int(1000.0 * len(sig) / 16000 / 16.0) + 1
+    assert p.shape == (n_expected,)
+    assert np.isfinite(p).all()
+    # voiced log-f0 around log(150) ~ 5.01
+    assert np.median(p[8:-8]) == pytest.approx(np.log(150.0), abs=0.15)
