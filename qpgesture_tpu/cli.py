@@ -130,7 +130,10 @@ def cmd_test_audio(args):
     if args.wav.endswith(".npz"):
         wav = np.load(args.wav)["wav"].astype(np.float32)
     else:
-        with wavemod.open(args.wav) as f:
+        import tempfile
+        from .pipelines.audio_prep import ensure_16k_wav
+        wav_path = ensure_16k_wav(args.wav, tempfile.mkdtemp())
+        with wavemod.open(wav_path) as f:
             assert f.getframerate() == 16000, "expected 16 kHz wav"
             raw = f.readframes(f.getnframes())
             wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0)
@@ -220,8 +223,21 @@ def cmd_train_vqvae(args):
     first = next(iter(ds.batches(conf.train.batch_size, seed=0)))
     state = trainer.init_codebook(state, first, jax.random.PRNGKey(1))
     batches = list(ds.batches(conf.train.batch_size, seed=0))
+    start_epoch = 1
+    if args.resume:
+        # failure recovery: resume from the rolling 'latest' checkpoint
+        # (full state: params + opt + EMA codebook + step counter); the
+        # reference saves an epoch counter but never restores it
+        # (train.py:114-117)
+        import os
+        from .train.checkpoints import restore_checkpoint
+        if os.path.isdir(os.path.join(args.out, "latest")):
+            state = restore_checkpoint(args.out, state, name="latest")
+            start_epoch = int(state.step) // max(1, len(batches)) + 1
+            print(f"resumed from {args.out}/latest at epoch {start_epoch}")
     state, best = trainer.fit(state, batches, epochs=args.epochs,
-                              checkpoint_dir=args.out)
+                              checkpoint_dir=args.out,
+                              start_epoch=start_epoch)
     print(f"best val: {best}")
 
 
@@ -248,7 +264,10 @@ def cmd_generate(args):
         if wav.ndim == 2:
             wav = wav.reshape(-1)
     else:
-        with wavemod.open(args.wav) as f:
+        import tempfile
+        from .pipelines.audio_prep import ensure_16k_wav
+        wav_path = ensure_16k_wav(args.wav, tempfile.mkdtemp())
+        with wavemod.open(wav_path) as f:
             assert f.getframerate() == 16000, "expected 16 kHz wav"
             wav = (np.frombuffer(f.readframes(f.getnframes()), np.int16)
                    .astype(np.float32) / 32768.0)
@@ -537,6 +556,35 @@ def cmd_train_end2end(args):
         save_checkpoint(args.out, state, name="latest")
 
 
+def cmd_plot(args):
+    """Offline training plots (the reference's live matplotlib windows,
+    Library/Utility.py:21-75 + Plotting.py): loss/metric curves from a
+    scalars.jsonl history and/or a phase-manifold PCA from a Phase npz."""
+    import os
+
+    from .render.plots import plot_phase_manifold, plot_scalar_history
+
+    os.makedirs(args.out, exist_ok=True)
+    wrote = []
+    if args.history:
+        wrote.append(plot_scalar_history(
+            args.history, os.path.join(args.out, "scalars.png"),
+            tags=args.tags))
+    if args.phase:
+        from .core.schemas import _to_dense_phase
+        data = np.load(args.phase, allow_pickle=True)
+        key = "phase" if "phase" in data.files else data.files[0]
+        phase = _to_dense_phase(data[key])
+        if phase.ndim == 4:  # (n, T, 4, 8) -> concatenate sequences
+            phase = phase.reshape(-1, *phase.shape[2:])
+        wrote.append(plot_phase_manifold(
+            phase, os.path.join(args.out, "phase_manifold.png")))
+    if not wrote:
+        raise SystemExit("pass --history and/or --phase")
+    for w in wrote:
+        print(f"wrote {w}")
+
+
 def cmd_train_resync(args):
     """ResyncNet WGAN-GP training (train_resync_gestureknn.py:108-187):
     data npz holds x_knn / x_real as (N, T, n_mfcc + n_joints) —
@@ -662,6 +710,8 @@ def main(argv=None):
                     help="WindowedDataset directory")
     tv.add_argument("--out", default="./output/train_codebook")
     tv.add_argument("--epochs", type=int)
+    tv.add_argument("--resume", action="store_true",
+                    help="resume from <out>/latest if present")
     tv.set_defaults(fn=cmd_train_vqvae)
 
     g = sub.add_parser("generate", help="wav -> gestures (match + decode)")
@@ -728,6 +778,13 @@ def main(argv=None):
     te.add_argument("--epochs", type=int)
     te.add_argument("--batch-size", type=int, default=32)
     te.set_defaults(fn=cmd_train_end2end)
+
+    pl = sub.add_parser("plot", help="training curves / phase-manifold PNGs")
+    pl.add_argument("--history", help="scalars.jsonl path")
+    pl.add_argument("--phase", help="Phase npz (dense or object format)")
+    pl.add_argument("--tags", nargs="*")
+    pl.add_argument("--out", default="./plots")
+    pl.set_defaults(fn=cmd_plot)
 
     tr = sub.add_parser("train-resync",
                         help="train the ResyncNet WGAN-GP refiner")

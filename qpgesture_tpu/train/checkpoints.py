@@ -22,7 +22,18 @@ def save_checkpoint(directory: str, state: Any, name: str = "latest") -> str:
 
 
 def restore_checkpoint(directory: str, template: Any,
-                       name: str = "latest") -> Any:
+                       name: str = "latest", to_host: bool = True) -> Any:
+    """Restore a checkpoint against a state template.
+
+    to_host=True returns numpy leaves: orbax restores arrays COMMITTED to
+    specific devices, which a subsequently-jitted shard_map over a
+    different mesh rejects ('incompatible devices'); host arrays let the
+    next jit place them wherever the computation needs."""
+    import jax
+    import numpy as np
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    restored = ckptr.restore(path, template)
+    if to_host:
+        restored = jax.tree_util.tree_map(np.asarray, restored)
+    return restored

@@ -133,7 +133,7 @@ class VQVAETrainer:
     def fit(self, state: TrainState, train_batches, val_batches=None,
             epochs: Optional[int] = None, rng: Optional[jax.Array] = None,
             log_every: int = 50, checkpoint_dir: Optional[str] = None,
-            history_path: Optional[str] = None):
+            history_path: Optional[str] = None, start_epoch: int = 1):
         """Simple epoch loop over in-memory batch iterables; mirrors the
         best-validation selection of train.py:94-117.
 
@@ -152,7 +152,7 @@ class VQVAETrainer:
         if history_path is None and checkpoint_dir:
             history_path = os.path.join(checkpoint_dir, "scalars.jsonl")
         hist = ScalarHistory(history_path) if history_path else None
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             if val_batches is not None:
                 errs = [self.eval_step(state, b)[1] for b in val_batches]
                 val_err = float(np.mean([np.asarray(e) for e in errs]))
@@ -182,9 +182,14 @@ class VQVAETrainer:
                         hist.log(epoch=epoch, step=bi, loss=float(loss),
                                  **{k: float(np.asarray(v))
                                     for k, v in metrics.items()})
-            if checkpoint_dir and epoch % self.cfg.save_per_epochs == 0:
+            if checkpoint_dir:
                 from .checkpoints import save_checkpoint
-                save_checkpoint(checkpoint_dir, state, name=f"{epoch:03d}")
+                # rolling resume point (exceeds the reference, which saves
+                # an epoch counter but never restores it — train.py:114-117)
+                save_checkpoint(checkpoint_dir, state, name="latest")
+                if epoch % self.cfg.save_per_epochs == 0:
+                    save_checkpoint(checkpoint_dir, state,
+                                    name=f"{epoch:03d}")
         if hist:
             hist.close()
         return state, best

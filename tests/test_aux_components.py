@@ -72,3 +72,74 @@ def test_block_and_time():
     fn = jax.jit(lambda x: x * 2)
     out, secs = block_and_time(fn, jnp.ones(8), n=2)
     assert secs >= 0 and np.all(np.asarray(out) == 2)
+
+
+def test_plot_cli_and_library(tmp_path, rng):
+    """Offline plotting (closes the reference's live-window gap,
+    Library/Utility.py:21-75 + Plotting.py): scalar curves from a JSONL
+    history and a phase-manifold PCA PNG."""
+    from qpgesture_tpu.cli import main as cli_main
+    from qpgesture_tpu.utils.metrics_log import ScalarHistory
+
+    hist = str(tmp_path / "scalars.jsonl")
+    h = ScalarHistory(hist)
+    for e in range(1, 6):
+        h.log(epoch=e, loss=1.0 / e, fit=2.0 / e, val_err=0.5 / e)
+    h.close()
+    phase = str(tmp_path / "phase.npz")
+    np.savez(phase, phase=rng.rand(2, 100, 4, 8).astype(np.float32))
+
+    out = str(tmp_path / "plots")
+    cli_main(["plot", "--history", hist, "--phase", phase, "--out", out])
+    import os
+    assert os.path.getsize(os.path.join(out, "scalars.png")) > 1000
+    assert os.path.getsize(os.path.join(out, "phase_manifold.png")) > 1000
+
+
+def test_train_vqvae_resume(tmp_path, rng):
+    """Failure recovery: a crashed run resumes from the rolling 'latest'
+    checkpoint with the full state (params+opt+EMA codebook+step) and the
+    correct epoch counter — the reference saves an epoch counter but never
+    restores it (train.py:114-117)."""
+    import jax
+    from qpgesture_tpu.core.config import TrainConfig, VQVAEConfig
+    from qpgesture_tpu.parallel.mesh import make_mesh
+    from qpgesture_tpu.train.checkpoints import restore_checkpoint
+    from qpgesture_tpu.train.train_vqvae import VQVAETrainer
+
+    small = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=16,
+                        input_dim=9, sample_length=4)
+    tcfg = TrainConfig(batch_size=16, lr=1e-3, milestones=(1000,))
+    trainer = VQVAETrainer(small, tcfg, mesh=make_mesh(8))
+    x = rng.randn(32, 32, 9).astype(np.float32)
+    batches = [x[:16], x[16:]]
+
+    def fresh_state():
+        # the train step donates its input state, so each run needs its own
+        # (deterministically identical) copy
+        s = trainer.init_state(jax.random.PRNGKey(0), sample_len=32)
+        return trainer.init_codebook(s, x[:16], jax.random.PRNGKey(1))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    # uninterrupted 4-epoch run
+    full, _ = trainer.fit(fresh_state(), batches, epochs=4,
+                          rng=jax.random.PRNGKey(3), checkpoint_dir=None)
+
+    # "crash" after 2 epochs, then resume from latest for epochs 3-4
+    trainer.fit(fresh_state(), batches, epochs=2,
+                rng=jax.random.PRNGKey(3), checkpoint_dir=ckpt)
+    restored = restore_checkpoint(ckpt, fresh_state(), name="latest")
+    assert int(restored.step) == 4  # 2 epochs x 2 batches
+    # NOTE: fit() re-splits its rng per step from the given key, so to get
+    # bit-equality we must hand the resumed run the same per-step keys the
+    # full run would use; replicate fit's split sequence for 2 epochs
+    key = jax.random.PRNGKey(3)
+    for _ in range(4):
+        key, _ = jax.random.split(key)
+    resumed, _ = trainer.fit(restored, batches, epochs=4, rng=key,
+                             checkpoint_dir=None, start_epoch=3)
+    for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(resumed.step) == int(full.step) == 8
