@@ -318,3 +318,22 @@ def test_bucketed_serving_no_recompile():
     got_c = engine.predict_bucketed(test_audio[:5], test_context[:5],
                                     rng=np.random.RandomState(cfg.seed))
     np.testing.assert_array_equal(got_c.codes, want_c.codes)
+
+
+def test_bucketed_serving_nonchaining_preset():
+    """Bucketing must also be exact for non-chaining presets (mfcc): the
+    padded windows draw their fresh inits AFTER the real windows' draws,
+    so real outputs see the same rng stream as the unbucketed path."""
+    rng = np.random.RandomState(404)
+    fx = _make_long_fixture(rng, num_frames=240, num_frames_code=30,
+                            n_seq=4, n_test=3)
+    cfg = MatchConfig(**{**MATCH_PRESETS["mfcc"].__dict__,
+                         "codebook_size": 48})
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"])
+    test_audio = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"])
+    engine = CodeKNNEngine(cfg, db)
+    want = engine.predict(test_audio, None,
+                          rng=np.random.RandomState(cfg.seed))
+    got = engine.predict_bucketed(test_audio, None,
+                                  rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got.codes, want.codes)
