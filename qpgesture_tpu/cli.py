@@ -125,18 +125,12 @@ def cmd_signature(args):
 def cmd_test_audio(args):
     from .core.schemas import save_wavvq
     from .pipelines.database_builder import window_test_audio
-    import wave as wavemod
 
     if args.wav.endswith(".npz"):
         wav = np.load(args.wav)["wav"].astype(np.float32)
     else:
-        import tempfile
-        from .pipelines.audio_prep import ensure_16k_wav
-        wav_path = ensure_16k_wav(args.wav, tempfile.mkdtemp())
-        with wavemod.open(wav_path) as f:
-            assert f.getframerate() == 16000, "expected 16 kHz wav"
-            raw = f.readframes(f.getnframes())
-            wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0)
+        from .pipelines.audio_prep import load_wav_16k
+        wav = load_wav_16k(args.wav)
     windows = window_test_audio(wav)
     np.savez_compressed(args.out.replace("wavvq", "wav"), wav=windows)
     if args.wavvq_checkpoint:
@@ -224,6 +218,7 @@ def cmd_train_vqvae(args):
     state = trainer.init_codebook(state, first, jax.random.PRNGKey(1))
     batches = list(ds.batches(conf.train.batch_size, seed=0))
     start_epoch = 1
+    initial_best = None
     if args.resume:
         # failure recovery: resume from the rolling 'latest' checkpoint
         # (full state: params + opt + EMA codebook + step counter); the
@@ -231,13 +226,22 @@ def cmd_train_vqvae(args):
         # (train.py:114-117)
         import os
         from .train.checkpoints import restore_checkpoint
+        from .utils.metrics_log import ScalarHistory
         if os.path.isdir(os.path.join(args.out, "latest")):
             state = restore_checkpoint(args.out, state, name="latest")
             start_epoch = int(state.step) // max(1, len(batches)) + 1
+            # recover the prior best val so the 'best' checkpoint cannot
+            # be clobbered by a worse post-resume epoch
+            hist_path = os.path.join(args.out, "scalars.jsonl")
+            if os.path.exists(hist_path):
+                prior = ScalarHistory.last(hist_path, "best_val_err")
+                if prior is not None:
+                    initial_best = (float(prior), 0)
             print(f"resumed from {args.out}/latest at epoch {start_epoch}")
     state, best = trainer.fit(state, batches, epochs=args.epochs,
                               checkpoint_dir=args.out,
-                              start_epoch=start_epoch)
+                              start_epoch=start_epoch,
+                              initial_best=initial_best)
     print(f"best val: {best}")
 
 
@@ -246,7 +250,6 @@ def cmd_generate(args):
     demo wrapper, Speech2GestureMatching/inference.py:19-82, plus decode):
     window the audio, extract wavvq codes, match against the staged
     database, decode with the VQ-VAE, write BVH."""
-    import wave as wavemod
 
     from .core.config import MATCH_PRESETS, MatchConfig, load_config
     from .core.schemas import (CodebookSignature, DatabaseBundle, load_codes,
@@ -264,13 +267,8 @@ def cmd_generate(args):
         if wav.ndim == 2:
             wav = wav.reshape(-1)
     else:
-        import tempfile
-        from .pipelines.audio_prep import ensure_16k_wav
-        wav_path = ensure_16k_wav(args.wav, tempfile.mkdtemp())
-        with wavemod.open(wav_path) as f:
-            assert f.getframerate() == 16000, "expected 16 kHz wav"
-            wav = (np.frombuffer(f.readframes(f.getnframes()), np.int16)
-                   .astype(np.float32) / 32768.0)
+        from .pipelines.audio_prep import load_wav_16k
+        wav = load_wav_16k(args.wav)
     windows = window_test_audio(wav)
     print(f"{windows.shape[0]} windows of 4 s")
 
@@ -337,7 +335,6 @@ def cmd_build_db(args):
     corresponding checkpoints are supplied)."""
     import glob
     import os
-    import wave as wavemod
 
     from .core.config import VQVAEConfig, load_config
     from .motion.bvh import parse_bvh
@@ -366,10 +363,10 @@ def cmd_build_db(args):
         from .pipelines.audio_prep import ensure_16k_wav
         wav_path = ensure_16k_wav(wav_path,
                                   os.path.join(args.out, "_audio16k"))
-        with wavemod.open(wav_path) as f:
-            assert f.getframerate() == 16000, f"{wav_path}: expected 16 kHz"
-            wav = (np.frombuffer(f.readframes(f.getnframes()), np.int16)
-                   .astype(np.float32) / 32768.0)
+        from .pipelines.audio_prep import read_wav
+        wav, wav_sr = read_wav(wav_path)
+        assert wav_sr == 16000, f"{wav_path}: expected 16 kHz"
+        wav = wav.astype(np.float32)
         words = []
         if args.transcript_dir:
             tpath = os.path.join(args.transcript_dir, name + ".txt")

@@ -457,28 +457,33 @@ class CodeKNNEngine:
 
         W = (test_audio if test_audio is not None else test_context).shape[0]
         S = (test_audio if test_audio is not None else test_context).shape[1]
-        rand_np = None
-        if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
-            rand_np = (rng.rand(W * S) > 0.5).astype(np.int32)
+        needs_rand = not cfg.use_phase and cfg.use_aud and cfg.use_txt
 
+        # Draws must consume rng in the ORACLE's order: [rand w0,
+        # init w1, rand w1, init w2, ...] — the per-window init (non-chain
+        # modes, GestureKNN.py:797,804,806) interleaves with the per-window
+        # rand bits, so neither can be drawn in one block when both exist.
+        rand_np = np.zeros((W * S,), np.int32) if needs_rand else None
         reset = (None, None, None)
         if not cfg.chain_windows and W > 1:
-            # mfcc/raw dispatches: windows don't chain — every window w>0
-            # re-seeds with a fresh random init (GestureKNN.py:797,804,806),
-            # implemented with the scan's reset masks. Draw order matches
-            # the oracle: one init_code_phase draw per window, in order.
             from .oracle import CodeKNNOracle
             oracle = CodeKNNOracle(self.db)
             reset_mask = np.zeros((W * S,), bool)
             reset_code = np.zeros((W * S,), np.int32)
             reset_phase = np.zeros((W * S, 8, 16), np.float32)
-            for w in range(1, W):
-                code_w, phase_w = oracle.init_code_phase(rng)
-                reset_mask[w * S] = True
-                reset_code[w * S] = code_w
-                if phase_w is not None:
-                    reset_phase[w * S] = phase_w
+            for w in range(W):
+                if w > 0:
+                    code_w, phase_w = oracle.init_code_phase(rng)
+                    reset_mask[w * S] = True
+                    reset_code[w * S] = code_w
+                    if phase_w is not None:
+                        reset_phase[w * S] = phase_w
+                if needs_rand:
+                    rand_np[w * S:(w + 1) * S] = \
+                        (rng.rand(S) > 0.5).astype(np.int32)
             reset = (reset_mask, reset_code, reset_phase)
+        elif needs_rand:
+            rand_np = (rng.rand(W * S) > 0.5).astype(np.int32)
 
         # one batched transfer for every input
         host_inputs = (
@@ -507,6 +512,13 @@ class CodeKNNEngine:
         init_codes: (C,) seeds (drawn like the reference when omitted).
         Seed chains reset at each clip boundary via the scan's reset masks.
         Returns a list of C OracleResults.
+
+        rng draw order (batch-specific, documented): clip inits first,
+        then rand bits (no-phase aud+txt mode), then per-window re-seeds
+        for non-chaining configs — per-clip bit-parity with sequential
+        predict() holds when inits/bits are passed explicitly (the tested
+        contract), not when sharing one rng across both paths in the
+        non-chaining + random-vote combination.
         """
         cfg = self.cfg
         rng = rng or np.random.RandomState(cfg.seed)

@@ -164,21 +164,21 @@ def convert_vq_wav2vec(state_dict: dict, cfg: Optional[VQWav2VecConfig] = None
                 "bias": _np(state_dict[prefix + ".bias"])}
 
     if cfg.weight_proj_depth > 1:
+        # Decide the layout ONCE: nested (fairseq: Sequential of
+        # Sequential(Linear, act) blocks + final Linear -> '.{d}.0.weight'
+        # exists for block 0) vs flat (Sequential(Linear, act, Linear, ...)
+        # -> Linear params at even indices). A per-key presence check would
+        # collide at depth >= 3: flat '.{depth-1}.weight' is a MIDDLE
+        # Linear, not the output projection.
+        nested = "vector_quantizer.weight_proj.0.0.weight" in state_dict
         for d in range(cfg.weight_proj_depth - 1):
-            base = f"vector_quantizer.weight_proj.{d}"
-            # nested block Sequential(Linear, act) -> ".{d}.0"; also accept
-            # a flat Sequential(Linear, act, Linear, ...) layout -> ".{2d}"
-            if f"{base}.0.weight" in state_dict:
-                vq[f"proj{d}"] = _linear(f"{base}.0")
-            else:
-                vq[f"proj{d}"] = _linear(
-                    f"vector_quantizer.weight_proj.{2 * d}")
+            vq[f"proj{d}"] = _linear(
+                f"vector_quantizer.weight_proj.{d}.0" if nested
+                else f"vector_quantizer.weight_proj.{2 * d}")
         last = cfg.weight_proj_depth - 1
-        if f"vector_quantizer.weight_proj.{last}.weight" in state_dict:
-            vq["proj_out"] = _linear(f"vector_quantizer.weight_proj.{last}")
-        else:
-            vq["proj_out"] = _linear(
-                f"vector_quantizer.weight_proj.{2 * last}")
+        vq["proj_out"] = _linear(
+            f"vector_quantizer.weight_proj.{last}" if nested
+            else f"vector_quantizer.weight_proj.{2 * last}")
     else:
         vq["proj_out"] = _linear("vector_quantizer.weight_proj")
 

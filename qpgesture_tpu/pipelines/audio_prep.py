@@ -30,17 +30,45 @@ def have_binary(name: str) -> bool:
 # wav I/O (mono PCM16 via the stdlib wave module)
 # ----------------------------------------------------------------------
 
+def _read_wav_scipy(path: str) -> Tuple[np.ndarray, int]:
+    """Fallback reader for formats the stdlib wave module rejects
+    (IEEE-float wavs, WAVE_FORMAT_EXTENSIBLE)."""
+    from scipy.io import wavfile
+    sr, x = wavfile.read(path)
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    elif x.dtype == np.int32:
+        x = x.astype(np.float32) / 2147483648.0
+    elif x.dtype == np.uint8:
+        x = (x.astype(np.float32) - 128.0) / 128.0
+    else:
+        x = x.astype(np.float32)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    return x, int(sr)
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a PCM wav into float32 [-1, 1] mono. Returns (wav, sr)."""
-    with wave.open(path, "rb") as f:
-        sr = f.getframerate()
-        n_ch = f.getnchannels()
-        width = f.getsampwidth()
-        raw = f.readframes(f.getnframes())
+    """Read a wav into float32 [-1, 1] mono. Returns (wav, sr). Handles
+    8/16/24/32-bit PCM via the stdlib and IEEE-float via scipy."""
+    try:
+        with wave.open(path, "rb") as f:
+            sr = f.getframerate()
+            n_ch = f.getnchannels()
+            width = f.getsampwidth()
+            raw = f.readframes(f.getnframes())
+    except wave.Error:
+        return _read_wav_scipy(path)
     if width == 2:
         x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif width == 4:
         x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.uint32)
+        u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        signed = u.astype(np.int32) - ((u >> 23) & 1).astype(np.int32) * (1 << 24)
+        x = signed.astype(np.float32) / 8388608.0
     elif width == 1:
         x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
@@ -155,9 +183,12 @@ def ensure_16k_wav(path: str, workdir: str) -> str:
     """Return a path to a 16 kHz mono PCM16 version of `path`, converting
     into workdir when needed — lets `build-db` ingest raw 44.1 kHz input
     end to end (the reference requires a manual normalize_audio.py pass)."""
-    with wave.open(path, "rb") as f:
-        ok = (f.getframerate() == 16000 and f.getnchannels() == 1
-              and f.getsampwidth() == 2)
+    try:
+        with wave.open(path, "rb") as f:
+            ok = (f.getframerate() == 16000 and f.getnchannels() == 1
+                  and f.getsampwidth() == 2)
+    except wave.Error:
+        ok = False  # e.g. IEEE-float wav: convert below
     if ok:
         return path
     os.makedirs(workdir, exist_ok=True)
@@ -165,3 +196,15 @@ def ensure_16k_wav(path: str, workdir: str) -> str:
         workdir, os.path.splitext(os.path.basename(path))[0] + "_16k.wav")
     resample_wav(path, out, 16000)
     return out
+
+
+def load_wav_16k(path: str) -> np.ndarray:
+    """Read any supported wav as 16 kHz float32 mono, converting through a
+    self-cleaning temp dir when needed (the one-stop ingestion helper for
+    the CLI surfaces)."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = ensure_16k_wav(path, td)
+        wav, sr = read_wav(p)
+    assert sr == 16000
+    return wav.astype(np.float32)

@@ -215,7 +215,9 @@ def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
 
     y = _low_cut_filter(x - x.mean() if len(x) else x, fs)
 
-    n_bands = 2 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
+    # dio.cc: number_of_bands = 1 + (int)(log2(ceil/floor) * cio) — 7 bands
+    # at the defaults, top boundary ~803 Hz
+    n_bands = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
     boundary_f0s = f0_floor * 2.0 ** ((np.arange(n_bands) + 1)
                                       / channels_in_octave)
 

@@ -29,14 +29,20 @@ def read_gentle_json(path: str) -> List[Word]:
 
 def read_tab_transcript(path: str) -> List[Word]:
     """The reference's Transcripts/*.txt format: 'start\tend\tword' per line
-    (make_txt_dataset, make_beat_dataset.py:491-497)."""
+    (make_txt_dataset, make_beat_dataset.py:491-497). A file containing any
+    line whose first two tab fields are not floats is treated as RAW text
+    (returns []) so callers can fall through to gentle alignment — plain
+    prose can legitimately contain tabs."""
     out: List[Word] = []
     with open(path, encoding="utf-8") as f:
         for line in f:
             parts = line.strip().split("\t")
             if len(parts) < 3:
                 continue
-            out.append((float(parts[0]), float(parts[1]), parts[2]))
+            try:
+                out.append((float(parts[0]), float(parts[1]), parts[2]))
+            except ValueError:
+                return []
     return out
 
 
@@ -125,22 +131,26 @@ def run_gentle(wav_path: str, transcript_text: str,
         return _words_from_gentle_payload(data)
 
     if gentle_cmd:
+        import shlex
         with tempfile.NamedTemporaryFile("w", suffix=".txt",
                                          delete=False) as tf:
             tf.write(transcript_text)
             txt_path = tf.name
         try:
-            proc = subprocess.run(
-                gentle_cmd.split() + [wav_path, txt_path],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                timeout=timeout, text=True)
-        except (subprocess.TimeoutExpired, OSError) as e:
-            raise GentleUnavailable(f"gentle cmd {gentle_cmd!r}: {e}")
-        if proc.returncode != 0:
-            raise GentleUnavailable(
-                f"gentle cmd failed rc={proc.returncode}: "
-                f"{proc.stderr[-500:]}")
-        return _words_from_gentle_payload(json.loads(proc.stdout))
+            try:
+                proc = subprocess.run(
+                    shlex.split(gentle_cmd) + [wav_path, txt_path],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    timeout=timeout, text=True)
+            except (subprocess.TimeoutExpired, OSError) as e:
+                raise GentleUnavailable(f"gentle cmd {gentle_cmd!r}: {e}")
+            if proc.returncode != 0:
+                raise GentleUnavailable(
+                    f"gentle cmd failed rc={proc.returncode}: "
+                    f"{proc.stderr[-500:]}")
+            return _words_from_gentle_payload(json.loads(proc.stdout))
+        finally:
+            os.unlink(txt_path)
 
     raise GentleUnavailable(
         "no gentle backend: set GENTLE_URL (HTTP service) or GENTLE_CMD "

@@ -40,8 +40,8 @@ def plot_scalar_history(history_path: str, out_path: str,
     for ax in axes.flat[n:]:
         ax.axis("off")
     for ax, (tag, rows_) in zip(axes.flat, sorted(series.items())):
-        epochs = [e + s / max(1, max(r[1] for r in rows_) + 1)
-                  for e, s, _ in rows_]
+        max_step = max(r[1] for r in rows_) + 1
+        epochs = [e + s / max(1, max_step) for e, s, _ in rows_]
         values = [v for _, _, v in rows_]
         ax.plot(epochs, values, lw=1.0)
         ax.set_title(tag)

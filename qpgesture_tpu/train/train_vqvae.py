@@ -133,7 +133,8 @@ class VQVAETrainer:
     def fit(self, state: TrainState, train_batches, val_batches=None,
             epochs: Optional[int] = None, rng: Optional[jax.Array] = None,
             log_every: int = 50, checkpoint_dir: Optional[str] = None,
-            history_path: Optional[str] = None, start_epoch: int = 1):
+            history_path: Optional[str] = None, start_epoch: int = 1,
+            initial_best: Optional[Tuple[float, int]] = None):
         """Simple epoch loop over in-memory batch iterables; mirrors the
         best-validation selection of train.py:94-117.
 
@@ -147,7 +148,9 @@ class VQVAETrainer:
         from ..utils.metrics_log import ScalarHistory
         from .data import device_prefetch
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        best = (float("inf"), 0)
+        # when resuming, pass the prior best (val_err, epoch) so the first
+        # post-resume validation cannot clobber the true 'best' checkpoint
+        best = initial_best if initial_best is not None else (float("inf"), 0)
         epochs = epochs or self.cfg.epochs
         if history_path is None and checkpoint_dir:
             history_path = os.path.join(checkpoint_dir, "scalars.jsonl")

@@ -302,3 +302,54 @@ def test_trinity_variant_build_db(tmp_path, rng):
     bundle = np.load(os.path.join(out, "trin_train_240_txt_2.npz"),
                      allow_pickle=True)
     assert bundle["body"].shape[1:] == (240, 135)
+
+
+def test_tab_transcript_rejects_raw_text_with_tabs(tmp_path):
+    """A raw (unaligned) transcript whose prose happens to contain tabs
+    must parse as 'not a tab transcript' (-> []), not crash with
+    ValueError (review finding: build-db --gentle relied on [] to trigger
+    alignment)."""
+    from qpgesture_tpu.pipelines.transcripts import read_tab_transcript
+    p = tmp_path / "raw.txt"
+    p.write_text("so\tI said\tokay then\nand more plain text\n")
+    assert read_tab_transcript(str(p)) == []
+    # a real tab transcript still parses
+    p2 = tmp_path / "aligned.txt"
+    p2.write_text("0.5\t0.9\thello\n1.0\t1.4\tworld\n")
+    assert read_tab_transcript(str(p2)) == [(0.5, 0.9, "hello"),
+                                            (1.0, 1.4, "world")]
+
+
+def test_read_wav_24bit_and_float(tmp_path):
+    """24-bit PCM and IEEE-float wavs read through the pure-python path
+    (review finding: the no-ffmpeg ingestion fallback rejected them)."""
+    import struct
+    import wave as wavemod
+
+    from qpgesture_tpu.pipelines.audio_prep import load_wav_16k, read_wav
+
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    sig = 0.25 * np.sin(2 * np.pi * 440 * t)
+
+    # 24-bit PCM via the stdlib wave module
+    p24 = str(tmp_path / "a24.wav")
+    pcm = np.clip(sig * 8388608.0, -8388608, 8388607).astype(np.int32)
+    raw = b"".join(struct.pack("<i", v)[:3] for v in pcm)
+    with wavemod.open(p24, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(sr)
+        f.writeframes(raw)
+    wav, got_sr = read_wav(p24)
+    assert got_sr == sr
+    np.testing.assert_allclose(wav, sig, atol=2e-6)
+
+    # IEEE-float wav via scipy
+    from scipy.io import wavfile
+    pf = str(tmp_path / "af32.wav")
+    wavfile.write(pf, 44100, np.interp(
+        np.linspace(0, 1, 11025), np.linspace(0, 1, len(sig)),
+        sig).astype(np.float32))
+    out = load_wav_16k(pf)
+    assert out.dtype == np.float32 and len(out) > 0

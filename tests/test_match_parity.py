@@ -337,3 +337,23 @@ def test_bucketed_serving_nonchaining_preset():
     got = engine.predict_bucketed(test_audio, None,
                                   rng=np.random.RandomState(cfg.seed))
     np.testing.assert_array_equal(got.codes, want.codes)
+
+
+def test_nonchaining_with_text_rand_interleave():
+    """chain_windows=False combined with the no-phase aud+txt random vote:
+    the engine must consume rng in the oracle's interleaved order
+    ([rand w0, init w1, rand w1, ...]), not in one rand block (a draw-order
+    bug found by review — no preset combines these flags)."""
+    rng = np.random.RandomState(808)
+    fx = make_fixture(rng, n_seq=4, n_test=3, codebook=48)
+    cfg = MatchConfig(audio_mode="feat", use_aud=True, use_txt=True,
+                      use_phase=False, chain_windows=False,
+                      codebook_size=48)
+    db, test_audio, test_context = _stage(cfg, fx)
+    oracle = CodeKNNOracle(db)
+    res_o = oracle.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+    engine = CodeKNNEngine(cfg, db)
+    res_e = engine.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
