@@ -229,14 +229,45 @@ def window_test_audio(wav: np.ndarray, n_frames: int = 240, fps: int = C.FPS,
 def sentence_transformer_embed_fn(model_name_or_path: str =
                                   "paraphrase-MiniLM-L6-v2",
                                   device: str = "cpu"):
-    """The reference's embedding model, when available locally
-    (downloads are impossible in air-gapped deployments; pass any
-    texts->(n,384) callable instead)."""
-    from sentence_transformers import SentenceTransformer
-    model = SentenceTransformer(model_name_or_path, device=device)
+    """The reference's embedding model (make_beat_dataset.py:446-447),
+    when available locally (downloads are impossible in air-gapped
+    deployments; pass any texts->(n,384) callable instead).
+
+    Prefers the sentence-transformers package; falls back to a plain
+    `transformers` implementation of the same module stack — the
+    paraphrase-MiniLM-* models are Transformer + mean-pooling with no
+    output normalization, so AutoModel last_hidden_state mean-pooled over
+    the attention mask reproduces SentenceTransformer.encode exactly."""
+    try:
+        from sentence_transformers import SentenceTransformer
+        model = SentenceTransformer(model_name_or_path, device=device)
+
+        def embed(texts: List[str]) -> np.ndarray:
+            return np.asarray(model.encode(texts))
+
+        return embed
+    except ImportError:
+        return transformers_mean_pool_embed_fn(model_name_or_path, device)
+
+
+def transformers_mean_pool_embed_fn(model_name_or_path: str,
+                                    device: str = "cpu"):
+    """Mean-pooled AutoModel embeddings (the sentence-transformers
+    'Transformer + Pooling(mean)' stack without the package)."""
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_name_or_path)
+    model = AutoModel.from_pretrained(model_name_or_path).to(device).eval()
 
     def embed(texts: List[str]) -> np.ndarray:
-        return np.asarray(model.encode(texts))
+        with torch.no_grad():
+            enc = tok(texts, padding=True, truncation=True, max_length=128,
+                      return_tensors="pt").to(device)
+            hidden = model(**enc).last_hidden_state          # (B, L, H)
+            mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+            emb = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+        return emb.cpu().numpy()
 
     return embed
 

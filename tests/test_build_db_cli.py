@@ -1,5 +1,7 @@
 """build-db CLI: full 15-joint BEAT-like recordings -> window bundles."""
 import os
+
+import pytest
 import wave as wavemod
 
 import numpy as np
@@ -82,3 +84,45 @@ def test_build_db_cli(tmp_path, rng):
     stats = np.load(out_dir / "stats.npz")
     assert stats["mean"].shape == (135,)
     assert os.path.exists(out_dir / "pipeline.json")
+
+
+def test_transformers_mean_pool_embed_fn(tmp_path):
+    """The no-sentence-transformers fallback: a tiny local BERT checkpoint
+    exercises tokenize -> AutoModel -> masked mean pooling; result must
+    equal the manual computation."""
+    pytest.importorskip("transformers")
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "hello", "world", "gesture", "speech"]
+    mdir = tmp_path / "tinybert"
+    mdir.mkdir()
+    (mdir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=32)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.save_pretrained(str(mdir))
+    tok = BertTokenizer(str(mdir / "vocab.txt"))
+    tok.save_pretrained(str(mdir))
+
+    from qpgesture_tpu.pipelines.database_builder import (
+        sentence_transformer_embed_fn, transformers_mean_pool_embed_fn)
+    embed = transformers_mean_pool_embed_fn(str(mdir))
+    out = embed(["hello world", "gesture speech hello"])
+    assert out.shape == (2, 16) and np.isfinite(out).all()
+
+    # manual check of the masked mean pooling on one sentence
+    enc = tok(["hello world"], return_tensors="pt")
+    with torch.no_grad():
+        hidden = BertModel.from_pretrained(str(mdir)).eval()(
+            **enc).last_hidden_state[0]
+    np.testing.assert_allclose(out[0], hidden.mean(0).numpy(), atol=1e-5)
+
+    # the public entry point falls through to this implementation when
+    # sentence_transformers is absent (it is, in this image)
+    embed2 = sentence_transformer_embed_fn(str(mdir))
+    np.testing.assert_allclose(embed2(["hello world"])[0], out[0],
+                               atol=1e-6)
