@@ -587,6 +587,55 @@ class CodeKNNEngine:
                                         votes=votes_np))
         return results
 
+    def predict_sharded(self, mesh, test_audio: Optional[np.ndarray],
+                        test_context: Optional[np.ndarray] = None,
+                        init_code: Optional[int] = None,
+                        init_phase: Optional[np.ndarray] = None,
+                        rng: Optional[np.random.RandomState] = None
+                        ) -> OracleResult:
+        """Database-sharded predict: candidate scoring (the O(DB) work)
+        shards the J axis across `mesh`; the per-code tables combine with a
+        tie-preserving cross-device min-reduce and the sequential fusion
+        scan runs replicated. Bit-identical to predict() — the multi-chip
+        path for databases past one chip's HBM (SURVEY §2.8)."""
+        from ..parallel.sharded_match import build_sharded_tables
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        if init_code is None:
+            from .oracle import CodeKNNOracle
+            init_code, got_phase = CodeKNNOracle(self.db).init_code_phase(rng)
+            if init_phase is None:
+                init_phase = got_phase
+        lead = test_audio if test_audio is not None else test_context
+        W, S = lead.shape[:2]
+        assert cfg.chain_windows or W == 1, (
+            "predict_sharded supports chaining presets (wavvq/wavlm); use "
+            "predict() for multi-window non-chaining mfcc modes")
+        rand_bits = None
+        if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
+            rand_bits = jnp.asarray(
+                (rng.rand(W * S) > 0.5).astype(np.int32))
+
+        tables = build_sharded_tables(
+            cfg, self.db, mesh,
+            test_audio if cfg.use_aud else None,
+            test_context if cfg.use_txt else None)
+        if init_phase is None:
+            init_phase = np.zeros((8, 16), np.float32)
+        blocks, phases, votes = _fuse_scan(
+            cfg, S, self.dev, tables,
+            jnp.asarray(np.int32(init_code)),
+            jnp.asarray(init_phase, jnp.float32), rand_bits)
+        blocks, phases, votes = jax.device_get((blocks, phases, votes))
+        codes = np.asarray(blocks).reshape(
+            W, S * cfg.step_sz)[:, :cfg.num_frames_code].astype(np.int32)
+        phases_np = None
+        if cfg.use_phase:
+            phases_np = np.asarray(phases).reshape(W, S, 8, 16)[:, -1]
+        votes_np = np.asarray(votes).reshape(W, S) \
+            if (cfg.use_phase and cfg.use_aud and cfg.use_txt) else None
+        return OracleResult(codes=codes, phases=phases_np, votes=votes_np)
+
     # Serving buckets: clip lengths (in 4 s windows) are padded up to the
     # next bucket so arbitrary-length clips hit a warm compile cache
     # instead of paying a per-shape XLA compile (the W dimension is the

@@ -53,3 +53,39 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out[1]))
     ge.dryrun_multichip(8)
+
+
+def test_predict_sharded_matches_single_device():
+    """Full sharded inference (J-sharded candidate scoring + replicated
+    fusion scan) selects bit-identical codes to the single-device engine,
+    in both shipped modes."""
+    from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
+    from qpgesture_tpu.match.database import (stage_database,
+                                              stage_test_audio,
+                                              stage_test_context)
+    from qpgesture_tpu.match.engine import CodeKNNEngine
+    from qpgesture_tpu.parallel.mesh import make_mesh
+
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_fixture
+
+    mesh = make_mesh(8)
+    for preset in ("wavvq", "shipped"):
+        rng = np.random.RandomState(606)
+        fx = make_fixture(rng, n_seq=6, n_test=2, codebook=48)
+        cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
+                             "codebook_size": 48})
+        db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                            wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+        ta = stage_test_audio(cfg, db, wavlm=fx["test_wavlm"],
+                              wavvq=fx["test_wavvq"])
+        tc = stage_test_context(db, fx["test_context"])
+        engine = CodeKNNEngine(cfg, db)
+        want = engine.predict(ta, tc, rng=np.random.RandomState(cfg.seed))
+        got = engine.predict_sharded(mesh, ta, tc,
+                                     rng=np.random.RandomState(cfg.seed))
+        np.testing.assert_array_equal(got.codes, want.codes)
+        if want.phases is not None:
+            np.testing.assert_allclose(got.phases, want.phases, atol=1e-5)
