@@ -196,13 +196,13 @@ def stage_database(cfg: MatchConfig,
         phase = dense[:, :, 0, :].astype(np.float32)
         amp = dense[:, :, 2, :].astype(np.float32)
 
+    freq_dist = code_frequency_prior(code_train, cfg.codebook_size)
     return MatchDatabase(
         cfg=cfg, geom=geom, code_train=code_train,
         signature=signature.signature.astype(np.float32),
         sig_dist=signature_distance_table(signature.signature),
-        freq_dist=code_frequency_prior(code_train, cfg.codebook_size),
-        freq_rank=frequency_rank(
-            code_frequency_prior(code_train, cfg.codebook_size)),
+        freq_dist=freq_dist,
+        freq_rank=frequency_rank(freq_dist),
         aud_codes=aud_codes, aud_blocks=aud_blocks,
         aud_frames=geom.block_frame_idx,
         aud_feat=aud_feat, aud_strings=aud_strings,

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import constants as C
 from ..core.config import MatchConfig
 from ..ops.levenshtein import levenshtein_matrix
 from ..ops.ranking import rank_jnp
@@ -44,10 +43,16 @@ def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def cosine_distance_matrix(q: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """(Q, D) x (N, D) -> (Q, N) cosine distances via one MXU matmul."""
+    """(Q, D) x (N, D) -> (Q, N) cosine distances via one MXU matmul.
+
+    precision=HIGHEST: the MXU's default bf16 multiplies perturb distances
+    by ~1e-3, enough to flip candidate ranks between near-equal database
+    blocks and silently diverge from the f32 oracle on real TPUs (the same
+    reason the VQ projections run f32, models/vq_wav2vec.py)."""
     qn = _l2_normalize(q)
     dn = _l2_normalize(d)
-    sim = jnp.dot(qn, dn.T, preferred_element_type=jnp.float32)
+    sim = jnp.dot(qn, dn.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return 1.0 - sim
 
 
@@ -106,10 +111,12 @@ class DeviceDatabase:
 
 def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
                         args: jnp.ndarray, matched: jnp.ndarray,
-                        blocks: jnp.ndarray, frames: np.ndarray):
+                        blocks: jnp.ndarray, starts: jnp.ndarray):
     """Per-code (rank, block, seq, start) tables from reduced per-code
     (min dist, global argmin flat index, matched) arrays. blocks: (J, B, s)
-    continuation-code table (small, replicated)."""
+    continuation-code table (small, replicated); starts: (B,) phase-window
+    start per block (geometry.phase_start of the block frame table). The
+    single assembly shared by the one-device and sharded paths."""
     J, B = blocks.shape[:2]
     blocks_flat = blocks.reshape(J * B, -1)
     blk = blocks_flat[args]                                   # (Q, 512, step)
@@ -117,22 +124,9 @@ def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
     blk = jnp.where(matched[..., None], blk,
                     jnp.broadcast_to(code_ids[None, :, None], blk.shape))
     seq = (args // B).astype(jnp.int32)
-    start_tab = jnp.asarray(
-        (frames.astype(np.float64) / C.WAVVQ_FRAMES *
-         C.NUM_FRAMES).astype(np.int32))
-    start = start_tab[args % B]
+    start = starts[args % B]
     rank = jax.vmap(rank_jnp)(mins).astype(jnp.int32)
     return rank, blk, seq, start
-
-
-def _candidate_tables(cfg: MatchConfig, codes: jnp.ndarray,
-                      blocks: jnp.ndarray, frames: np.ndarray,
-                      dist: jnp.ndarray):
-    """Reduce a (Q, J*B) distance matrix to per-code tables."""
-    seg = codes.reshape(-1)
-    mins, args, matched = segment_min_argmin(
-        dist, seg, cfg.codebook_size, cfg.unmatched_dist)
-    return tables_from_minargs(cfg, mins, args, matched, blocks, frames)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -153,8 +147,8 @@ class DeviceMatchDB:
 
 
 def _phase_starts(frames: np.ndarray) -> np.ndarray:
-    return (np.asarray(frames, np.float64) / C.WAVVQ_FRAMES
-            * C.NUM_FRAMES).astype(np.int32)
+    from .geometry import phase_start
+    return phase_start(frames).astype(np.int32)
 
 
 def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
@@ -200,15 +194,7 @@ def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
     seg = codes.reshape(-1)
     mins, args, matched = segment_min_argmin(
         dist, seg, cfg.codebook_size, cfg.unmatched_dist)
-    blocks_flat = blocks.reshape(J * B, -1)
-    blk = blocks_flat[args]
-    code_ids = jnp.arange(cfg.codebook_size, dtype=jnp.int32)
-    blk = jnp.where(matched[..., None], blk,
-                    jnp.broadcast_to(code_ids[None, :, None], blk.shape))
-    seq = (args // B).astype(jnp.int32)
-    start = starts[args % B]
-    rank = jax.vmap(rank_jnp)(mins).astype(jnp.int32)
-    return rank, blk, seq, start
+    return tables_from_minargs(cfg, mins, args, matched, blocks, starts)
 
 
 def _tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
@@ -263,7 +249,8 @@ def _phase_continuity(prev, head):
     nb = jnp.linalg.norm(b)
     na = jnp.where(na > 0, na, 1.0)
     nb = jnp.where(nb > 0, nb, 1.0)
-    return 1.0 - jnp.dot(a / na, b / nb)
+    return 1.0 - jnp.dot(a / na, b / nb,
+                         precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
@@ -282,10 +269,17 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
     the previous clip).
     """
     Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
-    inv_w = 1.0 / cfg.freq_weight if cfg.freq_weight else 1.0
-    assert abs(inv_w - round(inv_w)) < 1e-9, (
-        "freq_weight must be 1/K for exact integer scoring")
-    _SCALE = jnp.int32(round(inv_w))
+    # freq_weight=0 means the frequency term contributes nothing (same as
+    # use_freq=False), and with the frequency prior disabled the weight is
+    # irrelevant — only constrain it to 1/K when it is actually used.
+    use_freq = cfg.use_freq and cfg.freq_weight != 0.0
+    if use_freq:
+        inv_w = 1.0 / cfg.freq_weight
+        assert abs(inv_w - round(inv_w)) < 1e-9, (
+            "freq_weight must be 1/K for exact integer scoring")
+        _SCALE = jnp.int32(round(inv_w))
+    else:
+        _SCALE = jnp.int32(1)
     # Cross-window seed geometry: the kept code result[num_frames_code]
     # (appended index num_frames_code-1) must land in the final step's
     # block, else the scan's seed chain cannot reproduce the oracle — fail
@@ -317,7 +311,7 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         # freq_weight = 1/K, so score with K*pos + freq + K*rank in int32 —
         # order-exact, no float summation ambiguity
         pos_rank = rank_jnp(dev.sig_dist[prev_code]).astype(jnp.int32)
-        base = pos_rank * _SCALE + dev.freq_rank if cfg.use_freq \
+        base = pos_rank * _SCALE + dev.freq_rank if use_freq \
             else pos_rank * _SCALE
 
         out_phase = prev_phase
@@ -429,8 +423,12 @@ class CodeKNNEngine:
         self.cfg = cfg
         self.db = db
         self.devdb = device_match_db(cfg, db)
+        # fallback must use the same stable rank as the oracle's
+        # (oracle.search_window) — freq_dist values collide heavily, so an
+        # unstable argsort would order ties differently
+        from ..ops.ranking import rank_np
         freq_rank = db.freq_rank if db.freq_rank is not None else \
-            np.argsort(np.argsort(db.freq_dist)).astype(np.float32)
+            rank_np(db.freq_dist).astype(np.float32)
         self.dev = DeviceDatabase(
             sig_dist=jnp.asarray(db.sig_dist),
             freq_rank=jnp.asarray(freq_rank).astype(jnp.int32),
@@ -514,8 +512,8 @@ class CodeKNNEngine:
         Returns a list of C OracleResults.
 
         rng draw order (batch-specific, documented): clip inits first,
-        then rand bits (no-phase aud+txt mode), then per-window re-seeds
-        for non-chaining configs — per-clip bit-parity with sequential
+        then per-window re-seeds for non-chaining configs, then rand bits
+        (no-phase aud+txt mode) — per-clip bit-parity with sequential
         predict() holds when inits/bits are passed explicitly (the tested
         contract), not when sharing one rng across both paths in the
         non-chaining + random-vote combination.

@@ -164,9 +164,12 @@ def search_motion_np(db: GestureKNNData, feat_test: np.ndarray,
         f = frame_sel[sel]
         blk_feat = db.feat[sel, f:f + step, n_aud:].T       # (P, <=step)
         blk_pose = db.motion[sel, f:f + step].T             # (J, <=step)
-        w = blk_feat.shape[1]
-        pose_feat[:, j:j + w] = blk_feat
-        pred[:, j:j + w] = blk_pose
+        # clamp to the remaining columns: for n_frames % step != 0 the final
+        # block overhangs the output buffers (the jitted engine handles this
+        # by padding; the oracle must not crash where the engine works)
+        w = min(blk_feat.shape[1], pose_feat.shape[1] - j)
+        pose_feat[:, j:j + w] = blk_feat[:, :w]
+        pred[:, j:j + w] = blk_pose[:, :w]
         j += step
     return pred[:, 1:]
 
@@ -180,7 +183,6 @@ def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
     P = feat_db.shape[2] - n_aud
     pose_db = feat_db[:, :, n_aud:]                       # (K, L, P)
     aud_db = feat_db[:, :, :n_aud]
-    pose_db_sq = jnp.sum(pose_db ** 2, axis=-1)           # (K, L)
     f_idx = jnp.arange(L)
     tail_ok = f_idx <= L - step
     mask_ok = (mask + jnp.concatenate(
@@ -191,11 +193,16 @@ def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
     from ..ops.ranking import rank_jnp
 
     def body(pose_cur, j):
-        d2 = (pose_db_sq - 2.0 * jnp.einsum(
-            "klp,p->kl", pose_db, pose_cur,
-            precision=jax.lax.Precision.HIGHEST)
-            + jnp.sum(pose_cur ** 2))
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        # Direct difference form, NOT the expanded a2-2ab+b2 matmul: every
+        # step's query pose is copied verbatim from the selected block, so
+        # an exact-match frame exists in the database and the oracle's
+        # `d != 0.0` skip guard depends on that distance being EXACTLY
+        # zero. The expanded form's mixed reduction orders leave a tiny
+        # positive residual that would let the self-match win rank 0 and
+        # replay the source sequence. (Same bandwidth either way — both
+        # read all of pose_db once; the contraction is memory-bound.)
+        diff = pose_db - pose_cur
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))       # (K, L)
         ok = static_ok & (d != 0.0) & seq_alive[:, None]
         # reference off-by-one: the max-distance frame (last in sort order;
         # stable-tie analogue = last occurrence of the max) is never
@@ -215,7 +222,11 @@ def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
         nq = jnp.where(nq > 0, nq, 1.0)
         nc = jnp.linalg.norm(cand, axis=1)
         nc = jnp.where(nc > 0, nc, 1.0)
-        aud_dist = 1.0 - (cand @ (aud_q / nq)) / nc
+        # f32 matvec: bf16 MXU multiplies shift distances ~1e-3, flipping
+        # rank orders vs the NumPy oracle (same rationale as the pose
+        # distance above and engine.cosine_distance_matrix)
+        aud_dist = 1.0 - jnp.dot(cand, aud_q / nq,
+                                 precision=jax.lax.Precision.HIGHEST) / nc
         aud_dist = jnp.where(valid, aud_dist, jnp.inf)
         pos_for_rank = jnp.where(valid, pos_dist, jnp.inf)
         combined = (rank_jnp(pos_for_rank).astype(jnp.float32)

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..core import constants as C
 from ..ops.levenshtein import levenshtein_np
-from ..ops.ranking import kth_smallest_index_np, rank_np
+from ..ops.ranking import rank_np
 from .database import MatchDatabase
 
 
@@ -211,7 +211,10 @@ class CodeKNNOracle:
         # reference's f64 sums have the same instability). When freq_weight
         # is 1/K for integer K, compute K-scaled INTEGER scores instead:
         # exact, order-independent, and identical between oracle and engine.
-        inv_w = 1.0 / cfg.freq_weight if cfg.freq_weight else 1.0
+        # freq_weight=0 contributes nothing — same as use_freq=False (and
+        # the integer path must not fall back to adding freq at weight 1).
+        use_freq = cfg.use_freq and cfg.freq_weight != 0.0
+        inv_w = 1.0 / cfg.freq_weight if use_freq else 1.0
         int_scale = int(round(inv_w)) if abs(inv_w - round(inv_w)) < 1e-9 \
             else None
         if self.tie_kind == "reference":
@@ -224,12 +227,12 @@ class CodeKNNOracle:
             if int_scale is not None:
                 pos_score = (self._rank(db.sig_dist[prev]).astype(np.int64)
                              * int_scale)
-                if cfg.use_freq:
+                if use_freq:
                     pos_score = pos_score + freq_rank.astype(np.int64)
                 rank_scale = int_scale
             else:
                 pos_score = self._rank(db.sig_dist[prev]).astype(np.float64)
-                if cfg.use_freq:
+                if use_freq:
                     pos_score = pos_score + freq_rank * cfg.freq_weight
                 rank_scale = 1
 

@@ -22,8 +22,9 @@ from jax.experimental.shard_map import shard_map
 
 from ..core.config import MatchConfig
 from ..match.database import MatchDatabase
-from ..match.engine import (DeviceTables, cosine_distance_matrix,
-                            segment_min_argmin, tables_from_minargs)
+from ..match.engine import (DeviceTables, _phase_starts,
+                            cosine_distance_matrix, segment_min_argmin,
+                            tables_from_minargs)
 from ..ops.levenshtein import levenshtein_matrix
 from .mesh import DATA_AXIS, pad_to_multiple
 
@@ -106,7 +107,8 @@ def build_sharded_tables(cfg: MatchConfig, db: MatchDatabase, mesh: Mesh,
         mins, args, matched = sharded_candidate_reduce(
             cfg, mesh, q, feat, db.aud_codes, is_str)
         aud = tables_from_minargs(cfg, mins, args, matched,
-                                  jnp.asarray(db.aud_blocks), db.aud_frames)
+                                  jnp.asarray(db.aud_blocks),
+                                  jnp.asarray(_phase_starts(db.aud_frames)))
     if cfg.use_txt:
         W, S = test_context.shape[:2]
         n_steps = S
@@ -114,7 +116,8 @@ def build_sharded_tables(cfg: MatchConfig, db: MatchDatabase, mesh: Mesh,
         mins, args, matched = sharded_candidate_reduce(
             cfg, mesh, q, db.txt_feat, db.txt_codes, False)
         txt = tables_from_minargs(cfg, mins, args, matched,
-                                  jnp.asarray(db.txt_blocks), db.txt_frames)
+                                  jnp.asarray(db.txt_blocks),
+                                  jnp.asarray(_phase_starts(db.txt_frames)))
     return DeviceTables(aud_rank=aud[0], aud_block=aud[1], aud_seq=aud[2],
                         aud_start=aud[3], txt_rank=txt[0], txt_block=txt[1],
                         txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps)

@@ -18,7 +18,13 @@ def _reference_mfcc():
     """Import the reference's vendored Sphinx MFCC as a golden oracle
     (librosa stubbed out: the class itself never uses it)."""
     if "librosa" not in sys.modules:
-        sys.modules["librosa"] = types.ModuleType("librosa")
+        stub = types.ModuleType("librosa")
+        # a None __spec__ makes importlib.util.find_spec("librosa") raise
+        # ValueError, crashing transformers' availability probe in any test
+        # that imports transformers AFTER this one (ordering flake)
+        import importlib.machinery
+        stub.__spec__ = importlib.machinery.ModuleSpec("librosa", loader=None)
+        sys.modules["librosa"] = stub
     sys.path.insert(0, "/root/reference/codebook/Speech2GestureMatching")
     try:
         import mfcc as ref_mfcc

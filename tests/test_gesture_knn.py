@@ -30,6 +30,34 @@ def test_engine_matches_oracle(desired_k):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_oracle_handles_ragged_clip_length():
+    """n_frames % step != 0: the final block overhangs the output buffers;
+    the oracle must clamp (not crash) and still match the engine on the
+    real frames."""
+    rng = np.random.RandomState(11)
+    db = _db(rng)
+    feat_test = rng.randn(db.n_aud, 59).astype(np.float32)  # 59 % 8 != 0
+    want = search_motion_np(db, feat_test, init_seq=0, init_frm=5)
+    engine = GestureKNNEngine(db)
+    got = engine.search_motion(feat_test, init_seq=0, init_frm=5)
+    assert got.shape == want.shape == (15, 59)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_exact_pose_match_skipped():
+    """Each step's query pose is copied from the database, so an exact
+    self-match frame exists; the d != 0 guard must skip it in BOTH paths
+    (the jitted engine computes the distance in difference form so the
+    exact match is exactly zero)."""
+    rng = np.random.RandomState(7)
+    db = _db(rng, K=3, L=48)
+    feat_test = rng.randn(db.n_aud, 48).astype(np.float32)
+    want = search_motion_np(db, feat_test, init_seq=2, init_frm=3)
+    got = GestureKNNEngine(db).search_motion(feat_test, init_seq=2,
+                                             init_frm=3)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_init_frame_respects_mask():
     rng = np.random.RandomState(0)
     db = _db(rng)

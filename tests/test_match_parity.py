@@ -56,6 +56,37 @@ def test_engine_matches_oracle(preset):
         np.testing.assert_array_equal(res_o.votes, res_e.votes)
 
 
+def test_freq_weight_zero_means_no_freq():
+    """freq_weight=0 must zero out the frequency term (not silently score it
+    at weight 1 via the integer-scale fallback), and a use_freq=False config
+    must not trip the 1/K assert regardless of freq_weight."""
+    import dataclasses
+    rng = np.random.RandomState(515)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=48)
+    base = MATCH_PRESETS["no_phase"]
+    w0 = dataclasses.replace(base, codebook_size=48, use_freq=True,
+                             freq_weight=0.0)
+    nofreq = dataclasses.replace(base, codebook_size=48, use_freq=False)
+    db, ta, tc = _stage(w0, fx)
+    res_w0 = CodeKNNEngine(w0, db).predict(
+        ta, tc, rng=np.random.RandomState(w0.seed))
+    res_o = CodeKNNOracle(db).predict(
+        ta, tc, rng=np.random.RandomState(w0.seed))
+    np.testing.assert_array_equal(res_w0.codes, res_o.codes)
+
+    db_nf, ta_nf, tc_nf = _stage(nofreq, fx)
+    res_nf = CodeKNNEngine(nofreq, db_nf).predict(
+        ta_nf, tc_nf, rng=np.random.RandomState(nofreq.seed))
+    np.testing.assert_array_equal(res_w0.codes, res_nf.codes)
+
+    # use_freq=False with a non-reciprocal weight: must not assert
+    odd = dataclasses.replace(base, codebook_size=48, use_freq=False,
+                              freq_weight=0.3)
+    db_odd, ta_o, tc_o = _stage(odd, fx)
+    CodeKNNEngine(odd, db_odd).predict(
+        ta_o, tc_o, rng=np.random.RandomState(odd.seed))
+
+
 def test_candidate_tables_match():
     """Per-step audio/text candidate tables (dist per code, continuation
     block, source position) agree between oracle and device reduction."""
