@@ -103,6 +103,39 @@ def _bench_mode(mode, rng, J, W, bundle, codes, signature, decode):
     }
 
 
+def _bench_train(rng):
+    """VQ-VAE training-step throughput at the reference envelope (batch 256
+    of 240x135 windows, codebook.yml:35-49). The reference gives no training
+    wall-clock to normalize against (500 epochs on one RTX 2080 Ti), so this
+    reports absolute step latency / window throughput."""
+    import jax
+
+    from qpgesture_tpu.core.config import TrainConfig, VQVAEConfig
+    from qpgesture_tpu.train.train_vqvae import VQVAETrainer
+
+    cfg = TrainConfig()
+    batch = rng.randn(cfg.batch_size, cfg.n_poses, 135).astype(np.float32)
+    trainer = VQVAETrainer(VQVAEConfig(), cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.init_codebook(state, batch[:16], jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    # pre-stage the batch: a real input pipeline keeps batches prefetched on
+    # device, and the 33 MB host->device upload through the tunnel-attached
+    # host would otherwise dominate the measured step
+    batch = jax.device_put(batch)
+    state, loss, _ = trainer.train_step(state, batch, key)  # compile
+    jax.block_until_ready(loss)
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        state, loss, _ = trainer.train_step(state, batch, key)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    return {"step_ms_p50": round(p50 * 1e3, 2),
+            "windows_per_s": round(cfg.batch_size / p50, 1)}
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -135,6 +168,8 @@ def main():
         print(f"benchmarking {mode}...", file=sys.stderr)
         results[mode] = _bench_mode(mode, rng, J, W, bundle, codes,
                                     signature, decode)
+    print("benchmarking vqvae train step...", file=sys.stderr)
+    train = _bench_train(rng)
 
     head = results["wavvq"]
     print(json.dumps({
@@ -145,6 +180,7 @@ def main():
         "runs": RUNS,
         "wavvq": results["wavvq"],
         "wavlm": results["wavlm"],
+        "train_vqvae": train,
     }))
 
 

@@ -1,0 +1,73 @@
+"""On-chip engine/oracle parity sweep.
+
+The CPU-mesh test suite cannot catch TPU-only numeric divergence (the MXU's
+default bf16 multiplies — the reason engine distances force
+Precision.HIGHEST). This script runs the same preset sweep as
+tests/test_match_parity.py::test_engine_matches_oracle but on whatever
+backend JAX picks (the real chip under axon), comparing the device engine's
+selected codebook indices against the NumPy oracle bit-for-bit.
+
+Usage:  python examples/chip_parity_sweep.py [n_fixtures_per_preset]
+"""
+import os
+import sys
+import zlib
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import jax  # noqa: E402
+
+from fixtures import make_fixture  # noqa: E402
+from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig  # noqa: E402
+from qpgesture_tpu.match.database import (stage_database,  # noqa: E402
+                                          stage_test_audio,
+                                          stage_test_context)
+from qpgesture_tpu.match.engine import CodeKNNEngine  # noqa: E402
+from qpgesture_tpu.match.oracle import CodeKNNOracle  # noqa: E402
+
+PRESETS = ["wavvq", "shipped", "no_phase", "no_text", "no_audio", "mfcc",
+           "wavvq_aud_only", "wavlm_raw", "mfcc_raw"]
+
+
+def run(n_fixtures: int = 3) -> int:
+    print(f"backend: {jax.default_backend()} "
+          f"({len(jax.devices())} device(s))")
+    mismatches = 0
+    for preset in PRESETS:
+        for i in range(n_fixtures):
+            seed = 2024 + zlib.crc32(preset.encode()) % 1000 + 7919 * i
+            rng = np.random.RandomState(seed)
+            fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+            cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
+                                 "codebook_size": 64})
+            db = stage_database(cfg, fx["bundle"], fx["codes"],
+                                fx["signature"], wavlm=fx["wavlm"],
+                                wavvq=fx["wavvq"])
+            ta = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"],
+                                  wavlm=fx["test_wavlm"],
+                                  wavvq=fx["test_wavvq"]) \
+                if cfg.use_aud else None
+            tc = stage_test_context(db, fx["test_context"]) \
+                if cfg.use_txt else None
+            res_o = CodeKNNOracle(db).predict(
+                ta, tc, rng=np.random.RandomState(cfg.seed))
+            res_e = CodeKNNEngine(cfg, db).predict(
+                ta, tc, rng=np.random.RandomState(cfg.seed))
+            same = np.array_equal(res_o.codes, res_e.codes)
+            n_diff = int((res_o.codes != res_e.codes).sum())
+            print(f"{preset:16s} fixture {i}: "
+                  f"{'OK' if same else f'MISMATCH ({n_diff} codes)'}",
+                  flush=True)
+            mismatches += 0 if same else 1
+    print("PARITY CLEAN" if mismatches == 0 else
+          f"{mismatches} runs mismatched")
+    return mismatches
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sys.exit(1 if run(n) else 0)
