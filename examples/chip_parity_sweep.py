@@ -33,6 +33,31 @@ PRESETS = ["wavvq", "shipped", "no_phase", "no_text", "no_audio", "mfcc",
            "wavvq_aud_only", "wavlm_raw", "mfcc_raw"]
 
 
+def run_gesture_knn(n_fixtures: int = 3) -> int:
+    """Raw-pose GestureKNN engine vs NumPy oracle on the live backend —
+    its pose/audio distances also go through MXU contractions."""
+    from qpgesture_tpu.match.gesture_knn import (GestureKNNData,
+                                                 GestureKNNEngine,
+                                                 search_motion_np)
+    mismatches = 0
+    for i in range(n_fixtures):
+        rng = np.random.RandomState(31 + i)
+        K, L, A, P, J = 5, 64, 12, 8, 15
+        db = GestureKNNData(
+            feat=rng.randn(K, L, A + P).astype(np.float32),
+            motion=rng.randn(K, L, J).astype(np.float32),
+            control_mask=np.ones((K, L)), n_aud=A)
+        feat_test = rng.randn(A, 64).astype(np.float32)
+        got = GestureKNNEngine(db).search_motion(feat_test, init_seq=1,
+                                                 init_frm=10)
+        want = search_motion_np(db, feat_test, init_seq=1, init_frm=10)
+        same = np.allclose(got, want, atol=1e-5)
+        print(f"gesture_knn      fixture {i}: {'OK' if same else 'MISMATCH'}",
+              flush=True)
+        mismatches += 0 if same else 1
+    return mismatches
+
+
 def run(n_fixtures: int = 3) -> int:
     print(f"backend: {jax.default_backend()} "
           f"({len(jax.devices())} device(s))")
@@ -63,6 +88,7 @@ def run(n_fixtures: int = 3) -> int:
                   f"{'OK' if same else f'MISMATCH ({n_diff} codes)'}",
                   flush=True)
             mismatches += 0 if same else 1
+    mismatches += run_gesture_knn(n_fixtures)
     print("PARITY CLEAN" if mismatches == 0 else
           f"{mismatches} runs mismatched")
     return mismatches
