@@ -49,8 +49,17 @@ def cosine_distance_matrix(q: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     by ~1e-3, enough to flip candidate ranks between near-equal database
     blocks and silently diverge from the f32 oracle on real TPUs (the same
     reason the VQ projections run f32, models/vq_wav2vec.py)."""
+    return cosine_distance_prenorm(q, _l2_normalize(d))
+
+
+def cosine_distance_prenorm(q: jnp.ndarray, dn: jnp.ndarray) -> jnp.ndarray:
+    """cosine_distance_matrix with the database side ALREADY row-normalized.
+
+    The database tensor is invariant across predict calls, so DeviceMatchDB
+    stores it pre-normalized (with the same jnp op — bitwise identical to
+    normalizing per call) and each clip saves a full read+write pass over
+    the largest resident tensor (~0.7 GB in wavlm_feat mode)."""
     qn = _l2_normalize(q)
-    dn = _l2_normalize(d)
     sim = jnp.dot(qn, dn.T, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
     return 1.0 - sim
@@ -151,18 +160,28 @@ def _phase_starts(frames: np.ndarray) -> np.ndarray:
     return phase_start(frames).astype(np.int32)
 
 
+@jax.jit
+def _normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
+    return _l2_normalize(x)
+
+
 def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
     aud_feat = None
     if cfg.use_aud:
-        aud_feat = jnp.asarray(db.aud_strings if cfg.audio_mode ==
-                               "wavvq_feat" else db.aud_feat)
+        if cfg.audio_mode == "wavvq_feat":
+            aud_feat = jnp.asarray(db.aud_strings)
+        else:
+            # cosine modes: store the database side pre-normalized (see
+            # cosine_distance_prenorm)
+            aud_feat = _normalize_rows(jnp.asarray(db.aud_feat))
     return DeviceMatchDB(
         aud_feat=aud_feat,
         aud_codes=jnp.asarray(db.aud_codes) if cfg.use_aud else None,
         aud_blocks=jnp.asarray(db.aud_blocks) if cfg.use_aud else None,
         aud_starts=jnp.asarray(_phase_starts(db.aud_frames))
         if cfg.use_aud else None,
-        txt_feat=jnp.asarray(db.txt_feat) if cfg.use_txt else None,
+        txt_feat=_normalize_rows(jnp.asarray(db.txt_feat))
+        if cfg.use_txt else None,
         txt_codes=jnp.asarray(db.txt_codes) if cfg.use_txt else None,
         txt_blocks=jnp.asarray(db.txt_blocks) if cfg.use_txt else None,
         txt_starts=jnp.asarray(_phase_starts(db.txt_frames))
@@ -190,7 +209,8 @@ def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
         dist = _edit_distances(
             q, feat.reshape(J * B, feat.shape[-1])).astype(jnp.float32)
     else:
-        dist = cosine_distance_matrix(q, feat.reshape(J * B, feat.shape[-1]))
+        # feat arrives pre-normalized from device_match_db
+        dist = cosine_distance_prenorm(q, feat.reshape(J * B, feat.shape[-1]))
     seg = codes.reshape(-1)
     mins, args, matched = segment_min_argmin(
         dist, seg, cfg.codebook_size, cfg.unmatched_dist)
