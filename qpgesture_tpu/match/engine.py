@@ -455,32 +455,16 @@ class CodeKNNEngine:
             phase=jnp.asarray(db.phase) if db.phase is not None else None,
             amp=jnp.asarray(db.amp) if db.amp is not None else None)
 
-    def predict_device(self, test_audio: Optional[np.ndarray],
-                       test_context: Optional[np.ndarray] = None,
-                       init_code: Optional[int] = None,
-                       init_phase: Optional[np.ndarray] = None,
-                       rng: Optional[np.random.RandomState] = None):
-        """Device-resident variant: returns (codes (W, 30) on device,
-        phases, votes) without fetching to host — inputs ship in one
-        device_put so a clip costs a single host->device round trip. Chain
-        directly into the VQ-VAE decode to keep the whole serving path on
-        chip."""
+    def _chain_inputs(self, W: int, S: int,
+                      rng: np.random.RandomState):
+        """Per-window re-seed resets and rand bits in the ORACLE's rng draw
+        order: [rand w0, init w1, rand w1, init w2, ...] — the per-window
+        init (non-chain modes, GestureKNN.py:797,804,806) interleaves with
+        the per-window rand bits, so neither can be drawn in one block when
+        both exist. Returns (rand_np, (reset_mask, reset_code,
+        reset_phase))."""
         cfg = self.cfg
-        rng = rng or np.random.RandomState(cfg.seed)
-        if init_code is None:
-            from .oracle import CodeKNNOracle
-            init_code, got_phase = CodeKNNOracle(self.db).init_code_phase(rng)
-            if init_phase is None:
-                init_phase = got_phase
-
-        W = (test_audio if test_audio is not None else test_context).shape[0]
-        S = (test_audio if test_audio is not None else test_context).shape[1]
         needs_rand = not cfg.use_phase and cfg.use_aud and cfg.use_txt
-
-        # Draws must consume rng in the ORACLE's order: [rand w0,
-        # init w1, rand w1, init w2, ...] — the per-window init (non-chain
-        # modes, GestureKNN.py:797,804,806) interleaves with the per-window
-        # rand bits, so neither can be drawn in one block when both exist.
         rand_np = np.zeros((W * S,), np.int32) if needs_rand else None
         reset = (None, None, None)
         if not cfg.chain_windows and W > 1:
@@ -502,6 +486,29 @@ class CodeKNNEngine:
             reset = (reset_mask, reset_code, reset_phase)
         elif needs_rand:
             rand_np = (rng.rand(W * S) > 0.5).astype(np.int32)
+        return rand_np, reset
+
+    def predict_device(self, test_audio: Optional[np.ndarray],
+                       test_context: Optional[np.ndarray] = None,
+                       init_code: Optional[int] = None,
+                       init_phase: Optional[np.ndarray] = None,
+                       rng: Optional[np.random.RandomState] = None):
+        """Device-resident variant: returns (codes (W, 30) on device,
+        phases, votes) without fetching to host — inputs ship in one
+        device_put so a clip costs a single host->device round trip. Chain
+        directly into the VQ-VAE decode to keep the whole serving path on
+        chip."""
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        if init_code is None:
+            from .oracle import CodeKNNOracle
+            init_code, got_phase = CodeKNNOracle(self.db).init_code_phase(rng)
+            if init_phase is None:
+                init_phase = got_phase
+
+        W = (test_audio if test_audio is not None else test_context).shape[0]
+        S = (test_audio if test_audio is not None else test_context).shape[1]
+        rand_np, reset = self._chain_inputs(W, S, rng)
 
         # one batched transfer for every input
         host_inputs = (
@@ -626,13 +633,10 @@ class CodeKNNEngine:
                 init_phase = got_phase
         lead = test_audio if test_audio is not None else test_context
         W, S = lead.shape[:2]
-        assert cfg.chain_windows or W == 1, (
-            "predict_sharded supports chaining presets (wavvq/wavlm); use "
-            "predict() for multi-window non-chaining mfcc modes")
-        rand_bits = None
-        if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
-            rand_bits = jnp.asarray(
-                (rng.rand(W * S) > 0.5).astype(np.int32))
+        rand_np, reset = self._chain_inputs(W, S, rng)
+        rand_bits = jnp.asarray(rand_np) if rand_np is not None else None
+        reset = tuple(jnp.asarray(r) if r is not None else None
+                      for r in reset)
 
         tables = build_sharded_tables(
             cfg, self.db, mesh,
@@ -643,7 +647,7 @@ class CodeKNNEngine:
         blocks, phases, votes = _fuse_scan(
             cfg, S, self.dev, tables,
             jnp.asarray(np.int32(init_code)),
-            jnp.asarray(init_phase, jnp.float32), rand_bits)
+            jnp.asarray(init_phase, jnp.float32), rand_bits, *reset)
         blocks, phases, votes = jax.device_get((blocks, phases, votes))
         codes = np.asarray(blocks).reshape(
             W, S * cfg.step_sz)[:, :cfg.num_frames_code].astype(np.int32)

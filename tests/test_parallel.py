@@ -89,3 +89,40 @@ def test_predict_sharded_matches_single_device():
         np.testing.assert_array_equal(got.codes, want.codes)
         if want.phases is not None:
             np.testing.assert_allclose(got.phases, want.phases, atol=1e-5)
+
+
+def test_predict_sharded_nonchaining_multiwindow():
+    """Non-chaining mfcc preset with W>1: the sharded path builds the same
+    per-window re-seed resets (and rand interleave) as predict()."""
+    from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
+    from qpgesture_tpu.match.database import (stage_database,
+                                              stage_test_audio,
+                                              stage_test_context)
+    from qpgesture_tpu.match.engine import CodeKNNEngine
+    from qpgesture_tpu.parallel.mesh import make_mesh
+
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_fixture
+
+    mesh = make_mesh(8)
+    interleave = MatchConfig(audio_mode="feat", use_aud=True, use_txt=True,
+                             use_phase=False, chain_windows=False)
+    for cfg in (MATCH_PRESETS["mfcc"], MATCH_PRESETS["mfcc_raw"],
+                interleave):
+        rng = np.random.RandomState(717)
+        fx = make_fixture(rng, n_seq=6, n_test=3, codebook=48)
+        cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 48})
+        assert not cfg.chain_windows
+        db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                            wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+        ta = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"],
+                              wavlm=fx["test_wavlm"], wavvq=fx["test_wavvq"])
+        tc = stage_test_context(db, fx["test_context"]) \
+            if cfg.use_txt else None
+        engine = CodeKNNEngine(cfg, db)
+        want = engine.predict(ta, tc, rng=np.random.RandomState(cfg.seed))
+        got = engine.predict_sharded(mesh, ta, tc,
+                                     rng=np.random.RandomState(cfg.seed))
+        np.testing.assert_array_equal(got.codes, want.codes)
