@@ -174,11 +174,11 @@ def search_motion_np(db: GestureKNNData, feat_test: np.ndarray,
     return pred[:, 1:]
 
 
-@partial(jax.jit, static_argnames=("n_aud", "step", "desired_k", "n_steps"))
-def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
-                       n_aud: int, step: int, desired_k: int, n_steps: int):
-    """Jitted scan over steps. feat_db: (K, L, A+P); feat_test padded
-    (A, 1+n_frames)."""
+def _search_motion_core(feat_db, motion_db, mask, feat_test, init_pose,
+                        desired_k, n_aud: int, step: int, n_steps: int):
+    """Scan over steps. feat_db: (K, L, A+P); feat_test padded
+    (A, 1+n_frames); desired_k traced (one compile serves every k, and the
+    batched path vmaps per-sequence ks)."""
     K, L = feat_db.shape[:2]
     P = feat_db.shape[2] - n_aud
     pose_db = feat_db[:, :, n_aud:]                       # (K, L, P)
@@ -245,6 +245,23 @@ def _search_motion_jit(feat_db, motion_db, mask, feat_test, init_pose,
     return blocks, feats  # (n_steps, step, J), (n_steps, step, P)
 
 
+_search_motion_jit = partial(jax.jit, static_argnames=(
+    "n_aud", "step", "n_steps"))(_search_motion_core)
+
+
+@partial(jax.jit, static_argnames=("n_aud", "step", "n_steps"))
+def _search_motion_batch_jit(feat_db, motion_db, mask, feat_tests,
+                             init_poses, desired_ks,
+                             n_aud: int, step: int, n_steps: int):
+    """C independent searches in ONE device program (vmap over the scan);
+    the database tensors are shared, so the batched pose-distance pass
+    reads them once per step for all sequences."""
+    return jax.vmap(
+        lambda ft, ip, dk: _search_motion_core(
+            feat_db, motion_db, mask, ft, ip, dk, n_aud, step, n_steps)
+    )(feat_tests, init_poses, desired_ks)
+
+
 class GestureKNNEngine:
     """Device engine for the raw-pose baseline. Database tensors ship to
     HBM once at construction and stay resident across search_motion calls
@@ -279,13 +296,50 @@ class GestureKNNEngine:
         blocks, _ = _search_motion_jit(
             self._feat_d, self._motion_d, self._mask_d,
             jnp.asarray(feat.astype(np.float32)), init_pose,
-            db.n_aud, step, desired_k, n_steps)
+            jnp.int32(desired_k), db.n_aud, step, n_steps)
         width = max(1 + n_steps * step, n_frames + 1)
         out = np.zeros((db.motion.shape[2], width), np.float32)
         flat = np.asarray(blocks).reshape(n_steps * step, -1).T
         out[:, 1:1 + n_steps * step] = flat
         # pred_motion[:, 1:] (GestureKNN.py:150): drop the init column
         return out[:, 1:1 + n_frames]
+
+    def search_motion_batch(self, feat_tests: np.ndarray,
+                            init_seqs: np.ndarray, init_frms: np.ndarray,
+                            desired_ks: Optional[np.ndarray] = None
+                            ) -> np.ndarray:
+        """C independent searches in ONE device program.
+
+        feat_tests: (C, n_aud, n_frames) — same length per sequence (the
+        reference's test sets are fixed-length windows). Batching is the
+        raw-pose analogue of CodeKNNEngine.predict_batch: the reference's
+        1 h 58 m / 185-sequence workload collapses into ceil(185/C)
+        dispatches instead of paying a host-link round trip per sequence.
+        Bit-identical per sequence to search_motion.
+        """
+        db = self.db
+        step = db.step_sz
+        C, _, n_frames = feat_tests.shape
+        n_steps = int(np.ceil((n_frames - 1) / step))
+        feats = np.concatenate([feat_tests[:, :, :1], feat_tests], axis=2)
+        pad = 1 + n_steps * step + step - feats.shape[2]
+        if pad > 0:
+            feats = np.pad(feats, ((0, 0), (0, 0), (0, pad)))
+        if desired_ks is None:
+            desired_ks = np.zeros((C,), np.int32)
+        init_poses = db.feat[np.asarray(init_seqs), np.asarray(init_frms),
+                             db.n_aud:]
+        blocks, _ = _search_motion_batch_jit(
+            self._feat_d, self._motion_d, self._mask_d,
+            jnp.asarray(feats.astype(np.float32)),
+            jnp.asarray(init_poses),
+            jnp.asarray(desired_ks, jnp.int32),
+            db.n_aud, step, n_steps)
+        width = max(1 + n_steps * step, n_frames + 1)
+        out = np.zeros((C, db.motion.shape[2], width), np.float32)
+        flat = np.asarray(blocks).reshape(C, n_steps * step, -1)
+        out[:, :, 1:1 + n_steps * step] = flat.transpose(0, 2, 1)
+        return out[:, :, 1:1 + n_frames]
 
 
 def search_fake_motion_np(db: GestureKNNData, feat_test: np.ndarray,

@@ -58,6 +58,24 @@ def test_exact_pose_match_skipped():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_batch_matches_sequential():
+    """search_motion_batch == per-sequence search_motion, including
+    per-sequence desired_k."""
+    rng = np.random.RandomState(21)
+    db = _db(rng)
+    C = 3
+    feat_tests = rng.randn(C, db.n_aud, 64).astype(np.float32)
+    init_seqs = np.array([0, 2, 4])
+    init_frms = np.array([3, 17, 40])
+    ks = np.array([0, 2, 1], np.int32)
+    engine = GestureKNNEngine(db)
+    got = engine.search_motion_batch(feat_tests, init_seqs, init_frms, ks)
+    for c in range(C):
+        want = engine.search_motion(feat_tests[c], int(init_seqs[c]),
+                                    int(init_frms[c]), int(ks[c]))
+        np.testing.assert_allclose(got[c], want, atol=1e-6)
+
+
 def test_init_frame_respects_mask():
     rng = np.random.RandomState(0)
     db = _db(rng)
