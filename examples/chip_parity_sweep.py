@@ -58,6 +58,26 @@ def run_gesture_knn(n_fixtures: int = 3) -> int:
     return mismatches
 
 
+def run_long_clip() -> int:
+    """3600-frame (60 s) single-window matching on the live backend — the
+    reference's long-clip mfcc variant (113 steps x 4 codes, 450 kept)."""
+    from test_match_parity import _make_long_fixture
+    rng = np.random.RandomState(3600)
+    fx = _make_long_fixture(rng)
+    cfg = MatchConfig(**{**MATCH_PRESETS["mfcc"].__dict__,
+                         "codebook_size": 48,
+                         "num_frames": 3600, "num_frames_code": 450})
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"])
+    ta = stage_test_audio(cfg, db, test_bundle=fx["test_bundle"])
+    res_o = CodeKNNOracle(db).predict(
+        ta, None, rng=np.random.RandomState(cfg.seed))
+    res_e = CodeKNNEngine(cfg, db).predict(
+        ta, None, rng=np.random.RandomState(cfg.seed))
+    same = np.array_equal(res_o.codes, res_e.codes)
+    print(f"long_clip_3600   : {'OK' if same else 'MISMATCH'}", flush=True)
+    return 0 if same else 1
+
+
 def run(n_fixtures: int = 3) -> int:
     print(f"backend: {jax.default_backend()} "
           f"({len(jax.devices())} device(s))")
@@ -89,6 +109,7 @@ def run(n_fixtures: int = 3) -> int:
                   flush=True)
             mismatches += 0 if same else 1
     mismatches += run_gesture_knn(n_fixtures)
+    mismatches += run_long_clip()
     print("PARITY CLEAN" if mismatches == 0 else
           f"{mismatches} runs mismatched")
     return mismatches
