@@ -99,11 +99,15 @@ class ResyncConfig:
     batch_size: int = 100
     lr: float = 1e-4
     max_iters: int = 300000
-    burnin_iters: int = 10000
+    burnin_iters: int = 10000   # gates best-model selection only (fit():142)
     weight_gen: float = 1.0
     weight_recon: float = 0.1
     lambda_gp: float = 100.0
     gen_hop: int = 5
+    # Adam(lr, weight_decay=4e-5, betas=(0.0, 0.9)) — the WGAN-GP setting
+    # (train_resync_gestureknn.py:172-173)
+    weight_decay: float = 4e-5
+    betas: Tuple[float, float] = (0.0, 0.9)
 
 
 @dataclass(frozen=True)

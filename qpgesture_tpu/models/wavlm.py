@@ -30,9 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
-               "high": jax.lax.Precision.HIGH,
-               "default": jax.lax.Precision.DEFAULT}
+from .encdec import PRECISIONS as _PRECISIONS
 
 
 @dataclass(frozen=True)
@@ -154,8 +152,14 @@ class WavLMAttention(nn.Module):
         if position_bias is not None:
             bias = position_bias[None]                       # (1, H, T, T)
             if cfg.gru_rel_pos:
-                # gated relative position bias (modules.py:523-533)
-                g = nn.Dense(8, name="grep_linear")(q)        # (B,T,H,8)
+                # gated relative position bias (modules.py:523-533). The
+                # gate input is the RAW hidden state split into heads
+                # (query.transpose/view in the fast path the reference
+                # actually executes), NOT the q_proj output — the two
+                # differ by the projection and produce different gates on
+                # trained checkpoints.
+                q_raw = x.reshape(B, T, H, hd)
+                g = nn.Dense(8, name="grep_linear")(q_raw)    # (B,T,H,8)
                 g = g.transpose(0, 2, 1, 3)                   # (B,H,T,8)
                 g = jax.nn.sigmoid(g.reshape(B, H, T, 2, 4).sum(-1))
                 gate_a, gate_b = g[..., 0:1], g[..., 1:2]     # (B,H,T,1)

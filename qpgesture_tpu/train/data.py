@@ -72,14 +72,21 @@ class WindowedDataset:
         order = np.arange(n)
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
-        poses = self.normalized_poses()
+        # normalize per batch AFTER the fancy-index gather: normalizing the
+        # whole store up front would materialize a full float copy of a
+        # (possibly memory-mapped) dataset on every epoch
+        std = None if self.data_mean is None \
+            else np.clip(self.data_std, 0.01, None)
         stop = n - (n % batch_size) if drop_last else n
         for s in range(0, stop, batch_size):
             idx = order[s:s + batch_size]
             out = []
             for key in include:
                 if key == "poses":
-                    out.append(poses[idx].astype(np.float32))
+                    p = np.asarray(self.poses[idx], np.float32)
+                    if std is not None:
+                        p = (p - self.data_mean) / std
+                    out.append(p.astype(np.float32))
                 elif key == "audio":
                     out.append(self.audio[idx].astype(np.float32))
                 elif key == "codes":
@@ -90,7 +97,12 @@ class WindowedDataset:
     def from_clips(cls, clips: List[dict], n_poses: int, stride: int,
                    fps: int = 60, data_mean=None, data_std=None
                    ) -> "WindowedDataset":
-        """clips: [{'poses': (T, C), 'audio': (S,) or None}, ...]."""
+        """clips: [{'poses': (T, C), 'audio': (S,) or None}, ...].
+
+        Audio presence must be uniform across clips: mixing audio and
+        audio-less clips would silently misalign the concatenated pose and
+        audio rows (row i of `audio` would belong to a different clip than
+        row i of `poses`)."""
         pose_list, audio_list = [], []
         for clip in clips:
             p, a = window_clip(clip["poses"], clip.get("audio"), n_poses,
@@ -99,6 +111,11 @@ class WindowedDataset:
                 pose_list.append(p)
                 if a is not None:
                     audio_list.append(a)
+        if audio_list and len(audio_list) != len(pose_list):
+            raise ValueError(
+                f"{len(audio_list)} of {len(pose_list)} windowed clips have "
+                "audio; mixed audio presence would misalign pose/audio rows "
+                "— provide audio for every clip or for none")
         poses = np.concatenate(pose_list) if pose_list else \
             np.zeros((0, n_poses, clips[0]["poses"].shape[-1]))
         audio = np.concatenate(audio_list) if audio_list else None

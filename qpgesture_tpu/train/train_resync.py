@@ -2,9 +2,13 @@
 
 Mirrors Speech2GestureMatching/train_resync_gestureknn.py:38-187: the critic
 trains every iteration on (mfcc | motion) stacks with gradient penalty
-(lambda 100); the UNet generator trains every GEN_HOP=5 iterations after a
-burn-in, with adversarial weight 1 and L1 reconstruction weight 0.1; Adam
-1e-4 both.
+(lambda 100); the UNet generator trains every GEN_HOP=5 iterations
+(curr_iter % GEN_HOP == 0 — BURNIN_ITER gates only best-model selection,
+fit():142), with adversarial weight 1 and L1 reconstruction against the
+KNN input motion (the generator resyncs the matched motion, it does not
+regress to ground truth — loss_batch:93); Adam(lr, weight_decay=4e-5,
+betas=(0.0, 0.9)) for both (get_model:172-173; torch-style coupled L2,
+decay folded into the gradient before the Adam statistics).
 """
 from __future__ import annotations
 
@@ -41,8 +45,15 @@ class ResyncTrainer:
         self.n_mfcc = n_mfcc
         self.gen = ResyncNet(out_features=n_joints)
         self.disc = Discriminator(num_frames=num_frames)
-        self.g_tx = optax.adam(cfg.lr)
-        self.d_tx = optax.adam(cfg.lr)
+        # torch Adam(weight_decay=...) adds wd*param to the gradient BEFORE
+        # the moment estimates (coupled L2, not AdamW's decoupled decay)
+        def _tx():
+            return optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+                optax.scale(-cfg.lr))
+        self.g_tx = _tx()
+        self.d_tx = _tx()
         self._d_step = jax.jit(self._build_d_step())
         self._g_step = jax.jit(self._build_g_step())
 
@@ -72,8 +83,13 @@ class ResyncTrainer:
 
         def step(state: ResyncTrainState, x_knn, x_real, rng):
             mfcc = x_knn[:, :, :self.n_mfcc]
-            fake_motion, _ = self._generate(state, x_knn, train=False)
-            fake = jnp.concatenate([mfcc, fake_motion], axis=-1)
+            # the reference generates D-step fakes with the generator in
+            # train mode (fit():129 model_resync.train(), then
+            # loss_batch:70 .detach()) — batch statistics, and the BN
+            # running averages advance during the D step too
+            fake_motion, g_stats = self._generate(state, x_knn, train=True)
+            fake = jax.lax.stop_gradient(
+                jnp.concatenate([mfcc, fake_motion], axis=-1))
 
             def loss_fn(d_params):
                 dv = {"params": d_params}
@@ -87,7 +103,7 @@ class ResyncTrainer:
                                               state.d_params)
             d_params = optax.apply_updates(state.d_params, updates)
             return ResyncTrainState(
-                g_params=state.g_params, g_stats=state.g_stats,
+                g_params=state.g_params, g_stats=g_stats,
                 d_params=d_params, g_opt=state.g_opt, d_opt=d_opt,
                 step=state.step + 1), loss
 
@@ -98,7 +114,11 @@ class ResyncTrainer:
 
         def step(state: ResyncTrainState, x_knn, x_real):
             mfcc = x_knn[:, :, :self.n_mfcc]
-            real_motion = x_real[:, :, self.n_mfcc:]
+            # reconstruction target is the KNN INPUT motion (loss_batch:93
+            # L1(train_knn_xb[:, NUM_MFCC_FEAT:], pred_gen)): the generator
+            # stays close to the matched gestures it resyncs, it does not
+            # regress to ground truth (x_real feeds only the critic)
+            knn_motion = x_knn[:, :, self.n_mfcc:]
 
             def loss_fn(g_params):
                 (motion), updates = gen.apply(
@@ -106,7 +126,7 @@ class ResyncTrainer:
                     x_knn, train=True, mutable=["batch_stats"])
                 fake = jnp.concatenate([mfcc, motion], axis=-1)
                 adv = -jnp.mean(disc.apply({"params": state.d_params}, fake))
-                recon = jnp.mean(jnp.abs(motion - real_motion))
+                recon = jnp.mean(jnp.abs(motion - knn_motion))
                 loss = (cfg.weight_gen * adv + cfg.weight_recon * recon)
                 return loss, updates["batch_stats"]
 
@@ -124,12 +144,13 @@ class ResyncTrainer:
 
     def train_iteration(self, state, x_knn, x_real, rng, it: int
                         ) -> Tuple[ResyncTrainState, dict]:
-        """One reference-style iteration: D always; G every gen_hop after
-        burn-in (train_resync_gestureknn.py:108-187)."""
+        """One reference-style iteration: D always; G every gen_hop
+        (loss_batch:87 `curr_iter % GEN_HOP == 0`; burnin_iters gates only
+        best-model selection in the reference's fit loop)."""
         state, d_loss = self._d_step(state, jnp.asarray(x_knn),
                                      jnp.asarray(x_real), rng)
         logs = {"d_loss": float(d_loss)}
-        if it >= self.cfg.burnin_iters or it % self.cfg.gen_hop == 0:
+        if it % self.cfg.gen_hop == 0:
             state, g_loss = self._g_step(state, jnp.asarray(x_knn),
                                          jnp.asarray(x_real))
             logs["g_loss"] = float(g_loss)

@@ -155,34 +155,46 @@ class VQVAETrainer:
         if history_path is None and checkpoint_dir:
             history_path = os.path.join(checkpoint_dir, "scalars.jsonl")
         hist = ScalarHistory(history_path) if history_path else None
+
+        def validate(epoch, state):
+            nonlocal best
+            errs = [self.eval_step(state, b)[1] for b in val_batches]
+            val_err = float(np.mean([np.asarray(e) for e in errs]))
+            if val_err < best[0]:
+                best = (val_err, epoch)
+                if checkpoint_dir:
+                    from .checkpoints import save_checkpoint
+                    save_checkpoint(checkpoint_dir, state, name="best")
+            logging.info("epoch %d val_err %.5f (best %.5f @ %d)",
+                         epoch, val_err, best[0], best[1])
+            if hist:
+                hist.log(epoch=epoch, val_err=val_err, best_val_err=best[0])
+
         for epoch in range(start_epoch, epochs + 1):
             if val_batches is not None:
-                errs = [self.eval_step(state, b)[1] for b in val_batches]
-                val_err = float(np.mean([np.asarray(e) for e in errs]))
-                if val_err < best[0]:
-                    best = (val_err, epoch)
-                    if checkpoint_dir:
-                        from .checkpoints import save_checkpoint
-                        save_checkpoint(checkpoint_dir, state, name="best")
-                logging.info("epoch %d val_err %.5f (best %.5f @ %d)",
-                             epoch, val_err, best[0], best[1])
-                if hist:
-                    hist.log(epoch=epoch, val_err=val_err,
-                             best_val_err=best[0])
+                # validate at epoch START, like the reference
+                # (train.py:94-99: evaluate_testset precedes the train loop
+                # inside each epoch)
+                validate(epoch, state)
             for bi, batch in enumerate(device_prefetch(train_batches)):
                 rng, sub = jax.random.split(rng)
                 state, loss, metrics = self.train_step(state, batch, sub)
-                if not np.isfinite(float(loss)):
-                    # failure detection (absent in the reference, SURVEY §5):
-                    # stop on divergence instead of silently writing NaNs
-                    # into checkpoints; the last good checkpoint remains.
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch} step {bi}")
+                # Only materialize loss on host at log points: float(loss)
+                # every step would synchronize host and device, serializing
+                # dispatch and defeating device_prefetch's overlap. The
+                # divergence guard therefore fires within log_every steps.
                 if bi % log_every == 0:
+                    loss_v = float(loss)
+                    if not np.isfinite(loss_v):
+                        # failure detection (absent in the reference,
+                        # SURVEY §5): stop on divergence instead of silently
+                        # writing NaNs into checkpoints.
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {epoch} step {bi}")
                     logging.info("epoch %d step %d loss %.5f", epoch, bi,
-                                 float(loss))
+                                 loss_v)
                     if hist:
-                        hist.log(epoch=epoch, step=bi, loss=float(loss),
+                        hist.log(epoch=epoch, step=bi, loss=loss_v,
                                  **{k: float(np.asarray(v))
                                     for k, v in metrics.items()})
             if checkpoint_dir:
@@ -193,6 +205,11 @@ class VQVAETrainer:
                 if epoch % self.cfg.save_per_epochs == 0:
                     save_checkpoint(checkpoint_dir, state,
                                     name=f"{epoch:03d}")
+        if val_batches is not None:
+            # the reference never evaluates the final epoch's weights (its
+            # epoch loop also validates first); do it here so the last
+            # training epoch can still win the 'best' checkpoint
+            validate(epochs + 1, state)
         if hist:
             hist.close()
         return state, best

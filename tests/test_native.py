@@ -76,12 +76,18 @@ def test_clips_store_roundtrip(tmp_path, rng):
     clips = [{"poses": rng.randn(300, 9).astype(np.float32),
               "audio": rng.randn(80000).astype(np.float32)},
              {"poses": rng.randn(280, 9).astype(np.float32),
-              "audio": None}]
+              "audio": rng.randn(74000).astype(np.float32)}]
     path = str(tmp_path / "clips.qpg")
     assert clips_to_store(clips, path) == 2
     ds = store_to_dataset(path, n_poses=40, stride=20)
     direct = WindowedDataset.from_clips(clips, n_poses=40, stride=20)
     np.testing.assert_array_equal(ds.poses, direct.poses)
+    np.testing.assert_array_equal(ds.audio, direct.audio)
+    # mixed audio presence would misalign pose/audio rows -> must raise
+    mixed = [clips[0], {"poses": clips[1]["poses"], "audio": None}]
+    import pytest
+    with pytest.raises(ValueError, match="mixed audio"):
+        WindowedDataset.from_clips(mixed, n_poses=40, stride=20)
 
 
 def test_record_store_rejects_truncated(tmp_path, rng):

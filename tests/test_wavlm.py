@@ -72,6 +72,14 @@ def test_wavlm_matches_reference(mode, rng):
                           relative_position_embedding=True, gru_rel_pos=True)
     torch.manual_seed(3)
     tmodel = _ref_model(ref, jcfg)
+    # amplify the gate projection: at random init grep_linear outputs are
+    # ~0 and the gate is ~constant for ANY input, which once masked the
+    # wrong-gate-input bug (gate must come from the raw per-head hidden
+    # state, not the q_proj output — modules.py:523-533 fast path)
+    with torch.no_grad():
+        for name, p in tmodel.named_parameters():
+            if "grep_linear" in name:
+                p.mul_(8.0)
     sd = tmodel.state_dict()
     variables = convert_wavlm(sd, jcfg)
     model = WavLMJax(jcfg)
@@ -90,7 +98,60 @@ def test_wavlm_matches_reference(mode, rng):
     assert corr > 0.9999
 
 
-def test_relative_bucket_matches_reference():
+def test_attention_gate_input_matches_reference():
+    """Single attention layer vs the reference fast path (modules.py:503+)
+    with AMPLIFIED gate weights: isolates the gated-relative-position-bias
+    path, where the gate input must be the RAW per-head hidden state, not
+    the q_proj output (a bug the end-to-end test cannot resolve at toy
+    scale — the two inputs differ by up to ~3.6, gates by ~0.1)."""
+    sys.path.insert(0, "/root/reference/process/WavLM")
+    try:
+        import modules as ref_modules
+    except Exception:
+        pytest.skip("reference modules not importable")
+    from qpgesture_tpu.models.wavlm import WavLMAttention
+    import jax
+
+    D, H, T, B = 64, 4, 23, 2
+    torch.manual_seed(5)
+    tattn = ref_modules.MultiheadAttention(
+        D, H, dropout=0.0, self_attention=True,
+        has_relative_attention_bias=True, num_buckets=32, max_distance=80,
+        gru_rel_pos=True).eval()
+    with torch.no_grad():
+        for name, p in tattn.named_parameters():
+            if "grep_linear" in name or "relative_attention_bias" in name:
+                p.mul_(5.0)
+
+    jcfg = _small_cfg(relative_position_embedding=True, gru_rel_pos=True)
+    model = WavLMAttention(jcfg, has_bias_table=True)
+    sd = tattn.state_dict()
+
+    def t2j(w):
+        return jnp.asarray(w.numpy())
+
+    params = {
+        "q_proj": {"kernel": t2j(sd["q_proj.weight"].T),
+                   "bias": t2j(sd["q_proj.bias"])},
+        "k_proj": {"kernel": t2j(sd["k_proj.weight"].T),
+                   "bias": t2j(sd["k_proj.bias"])},
+        "v_proj": {"kernel": t2j(sd["v_proj.weight"].T),
+                   "bias": t2j(sd["v_proj.bias"])},
+        "out_proj": {"kernel": t2j(sd["out_proj.weight"].T),
+                     "bias": t2j(sd["out_proj.bias"])},
+        "grep_linear": {"kernel": t2j(sd["grep_linear.weight"].T),
+                        "bias": t2j(sd["grep_linear.bias"])},
+        "grep_a": t2j(sd["grep_a"]),
+        "rel_bias": t2j(sd["relative_attention_bias.weight"]),
+    }
+
+    x = np.random.RandomState(11).randn(B, T, D).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(x).transpose(0, 1)  # (T, B, D)
+        want, _, _ = tattn(query=tx, key=tx, value=tx, position_bias=None)
+        want = want.transpose(0, 1).numpy()
+    got, _ = model.apply({"params": params}, jnp.asarray(x), None)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
     ref = _load_reference()
     if ref is None:
         pytest.skip("reference WavLM not importable")
