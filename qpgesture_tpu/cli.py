@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -72,6 +73,12 @@ def cmd_match(args):
         if cfg.use_aud else None
     test_context = None
     if cfg.use_txt:
+        if test_bundle is None or test_bundle.context is None:
+            raise SystemExit(
+                f"preset {args.preset!r} uses text guidance (use_txt=True) "
+                "and needs --test-data pointing at a bundle with a "
+                "'context' array; pass one or pick a preset without text "
+                "(e.g. no_text, mfcc, wavvq_aud_only)")
         test_context = stage_test_context(db, test_bundle.context)
     if args.max_frames:
         if test_audio is not None:
@@ -132,7 +139,12 @@ def cmd_test_audio(args):
         from .pipelines.audio_prep import load_wav_16k
         wav = load_wav_16k(args.wav)
     windows = window_test_audio(wav)
-    np.savez_compressed(args.out.replace("wavvq", "wav"), wav=windows)
+    if "wavvq" in args.out:
+        wav_out = args.out.replace("wavvq", "wav")
+    else:  # never silently reuse args.out for both arrays
+        root, ext = os.path.splitext(args.out)
+        wav_out = f"{root}_wav{ext or '.npz'}"
+    np.savez_compressed(wav_out, wav=windows)
     if args.wavvq_checkpoint:
         from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
         from .pipelines.database_builder import extract_wavvq
@@ -185,10 +197,23 @@ def cmd_evaluate(args):
         cfg = conf.vqvae if conf else VQVAEConfig()
         model, params, cb = _load_vqvae(args.vqvae_checkpoint, cfg)
         enc = jax.jit(lambda p, c, x: model.encode(p, c, x))
+        # the encoder was trained on z-normalized windows (encode_windows,
+        # database_builder.py) — raw rotation-matrix values are far off its
+        # input distribution and would yield garbage latents
+        mean = np.asarray(conf.data_mean, np.float32) \
+            if conf and conf.data_mean is not None else None
+        std = np.clip(np.asarray(conf.data_std, np.float32), 0.01, None) \
+            if conf and conf.data_std is not None else None
+        if mean is None:
+            print("warning: no data_mean/data_std in --config; "
+                  "fgd_feature encodes un-normalized windows",
+                  file=sys.stderr)
 
         def encoder(wins):
-            zs = np.asarray(enc(params, cb,
-                                jnp.asarray(wins.astype(np.float32))))
+            w = wins.astype(np.float32)
+            if mean is not None:
+                w = (w - mean) / std
+            zs = np.asarray(enc(params, cb, jnp.asarray(w)))
             return zs.reshape(zs.shape[0], -1).astype(np.float64)
 
         out["fgd_feature"] = round(fgd(wg, wr, encoder=encoder), 4)
@@ -308,9 +333,9 @@ def cmd_generate(args):
     result = engine.predict(test_audio, test_context)
     print(f"matched codes {result.codes.shape}")
 
+    from .core.config import VQVAEConfig
     conf = load_config(args.config) if args.config else None
-    vq_cfg = conf.vqvae if conf else __import__(
-        "qpgesture_tpu.core.config", fromlist=["VQVAEConfig"]).VQVAEConfig()
+    vq_cfg = conf.vqvae if conf else VQVAEConfig()
     model, params, cb = _load_vqvae(args.vqvae_checkpoint, vq_cfg)
     with open(args.pipeline) as f:
         pipeline = MotionPipeline.from_json(f.read())
@@ -416,6 +441,20 @@ def cmd_build_db(args):
     splits = {"train": [], "validation": [], "test": []}
     for rec in recordings:
         splits[split_of(rec.name)].append(rec)
+
+    # load each checkpoint ONCE (not per split: WavLM alone is GB-scale)
+    vq_model = wavvq_model = wavlm_model = None
+    if args.vqvae_checkpoint:
+        conf = load_config(args.config) if args.config else None
+        vq_cfg = conf.vqvae if conf else VQVAEConfig()
+        vq_model = _load_vqvae(args.vqvae_checkpoint, vq_cfg)
+    if args.wavvq_checkpoint:
+        from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
+        wavvq_model = load_vq_wav2vec_checkpoint(args.wavvq_checkpoint)
+    if args.wavlm_checkpoint:
+        from .models.wavlm import load_wavlm_checkpoint
+        wavlm_model = load_wavlm_checkpoint(args.wavlm_checkpoint)
+
     for split, recs in splits.items():
         if not recs:
             continue
@@ -426,30 +465,25 @@ def cmd_build_db(args):
         bundle.save(path)
         print(f"wrote {path}: {bundle.body.shape[0]} windows")
 
-        if args.vqvae_checkpoint:
+        if vq_model is not None:
             from .pipelines.database_builder import encode_windows
-            conf = load_config(args.config) if args.config else None
-            vq_cfg = conf.vqvae if conf else VQVAEConfig()
-            model, params, cb = _load_vqvae(args.vqvae_checkpoint, vq_cfg)
+            model, params, cb = vq_model
             codes = encode_windows(model, params, cb, bundle.body, mean, std)
             cpath = os.path.join(args.out, f"{args.prefix}_{split}_"
                                  f"{args.n_frames}_code.npz")
             np.savez_compressed(cpath, code=codes)
             print(f"wrote {cpath}: {codes.shape}")
-        if args.wavvq_checkpoint:
-            from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
+        if wavvq_model is not None:
             from .pipelines.database_builder import extract_wavvq
-            model, variables = load_vq_wav2vec_checkpoint(
-                args.wavvq_checkpoint)
+            model, variables = wavvq_model
             wavvq = extract_wavvq(model, variables, bundle.wav)
             wpath = os.path.join(args.out, f"{args.prefix}_{split}_"
                                  f"{args.n_frames}_WavVQ.npz")
             np.savez_compressed(wpath, wavvq=wavvq)
             print(f"wrote {wpath}: {wavvq.shape}")
-        if args.wavlm_checkpoint:
-            from .models.wavlm import load_wavlm_checkpoint
+        if wavlm_model is not None:
             from .pipelines.database_builder import extract_wavlm
-            model, variables = load_wavlm_checkpoint(args.wavlm_checkpoint)
+            model, variables = wavlm_model
             feats = extract_wavlm(model, variables, bundle.wav)
             lpath = os.path.join(args.out, f"{args.prefix}_{split}_"
                                  f"{args.n_frames}_WavLM.npz")

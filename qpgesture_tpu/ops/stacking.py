@@ -28,7 +28,7 @@ def stack_post(x: np.ndarray, n_stack: int, interval: int) -> np.ndarray:
     n, T, F = x.shape
     out = np.zeros((n, T, n_stack, F), dtype=x.dtype)
     for i in range(n_stack):
-        shift = i * interval
+        shift = min(i * interval, T)  # shift > T: the whole plane is pad
         out[:, : T - shift, i, :] = x[:, shift:, :]
     return out.reshape(n, T, n_stack * F)
 

@@ -88,7 +88,9 @@ def cal_volume(wav_int16: np.ndarray, frame_size: int = 256,
                overlap: int = 128) -> np.ndarray:
     """calVolume port (speech_feat.py:78-89): (n_frames,) abs-sum volume."""
     data = wav_int16.astype(np.float64)
-    data = data / np.abs(data).max()
+    # eps guard: a silent (all-zero) input must not become 0/0 = NaN and
+    # poison the stored volume feature
+    data = data / max(np.abs(data).max(), 1e-12)
     step = frame_size - overlap
     n = int(math.ceil(len(data) / step))
     out = np.zeros(n)

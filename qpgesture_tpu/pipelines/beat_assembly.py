@@ -51,7 +51,10 @@ def repair_bvh_frames_header(path: str) -> bool:
     if frames_i is None or time_i is None:
         return False
     actual = sum(1 for ln in lines[time_i + 1:] if ln.strip())
-    declared = int(lines[frames_i].split(":")[1])
+    # int(float(...)): some BEAT files carry non-integer Frames counts
+    # (same tolerance as bvh.parse_bvh) — exactly the malformed headers
+    # this repair pass exists to fix
+    declared = int(float(lines[frames_i].split(":")[1]))
     if declared == actual:
         return False
     lines[frames_i] = f"Frames: {actual}\n"

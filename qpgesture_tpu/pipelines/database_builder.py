@@ -121,6 +121,16 @@ def window_recordings(recordings: Sequence[Recording], n_frames: int = 240,
                       ) -> DatabaseBundle:
     """Non-overlapping (or strided) 240-frame windows -> DatabaseBundle."""
     stride = stride or n_frames
+    if include_mirror and any(rec.phase is not None for rec in recordings):
+        # Mirrored windows carry no phase (the PAE phase of mirrored motion
+        # is not derivable from the original's), so mixing them with phased
+        # originals would leave bundle.phase shorter than bundle.body and
+        # stage_database would pair motions with the wrong phase rows.
+        raise ValueError(
+            "include_mirror=True with phase-extracted recordings would "
+            "misalign phase with body windows; run the PAE over the "
+            "mirrored rotations too, or build the mirrored (training) "
+            "bundle without phase")
     body, mfcc_w, wav_w, energy_w, pitch_w, volume_w = [], [], [], [], [], []
     phase_w, ctx_w, aux = [], [], []
     for rec in recordings:
@@ -274,12 +284,17 @@ def transformers_mean_pool_embed_fn(model_name_or_path: str,
 
 def hashed_embed_fn(dim: int = C.CONTEXT_DIM):
     """Deterministic stand-in embedding (bag of hashed words, L2
-    normalized) for tests and air-gapped smoke runs."""
+    normalized) for tests and air-gapped smoke runs. Uses crc32, NOT
+    Python's hash(): str hash is salted per process, so hash()-bucketed
+    train and test databases built in different invocations would place
+    the same word in different dims — incomparable features, no error."""
+    import zlib
+
     def embed(texts: List[str]) -> np.ndarray:
         out = np.zeros((len(texts), dim), np.float32)
         for i, text in enumerate(texts):
             for w in text.split():
-                h = abs(hash(w))
+                h = zlib.crc32(w.encode("utf-8"))
                 out[i, h % dim] += 1.0
             n = np.linalg.norm(out[i])
             if n > 0:

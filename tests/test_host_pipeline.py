@@ -152,6 +152,11 @@ def test_repair_bvh_frames_header(tmp_path, rng):
     ok.write_text(good)
     assert not repair_bvh_frames_header(str(ok))
     assert ok.read_text() == good
+    # non-integer Frames counts (some BEAT files) must repair, not crash
+    frac = tmp_path / "frac.bvh"
+    frac.write_text(good.replace("Frames: 50", "Frames: 444.0"))
+    assert repair_bvh_frames_header(str(frac))
+    assert "Frames: 50" in frac.read_text()
 
 
 def test_assemble_beat_cli(tmp_path, rng):

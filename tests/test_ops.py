@@ -75,6 +75,16 @@ def test_stack_post_matches_reference_loop(rng):
                                ref.reshape(3, 240, -1), rtol=1e-6)
 
 
+def test_stack_post_short_clip(rng):
+    """Clips shorter than (n_stack-1)*interval must zero-pad, not crash
+    (shift clamps to T)."""
+    x = rng.rand(2, 15, 3).astype(np.float32)
+    out = stack_post(x, 6, 4)
+    assert out.shape == (2, 15, 18)
+    np.testing.assert_array_equal(out[:, :, 15:], 0)  # shift=20 > T plane
+    np.testing.assert_allclose(out[:, :, :3], x)
+
+
 def test_stack_wavvq_matches_reference_loop(rng):
     wavvq = rng.randint(0, 320, size=(2, 398, 2))
     got = stack_wavvq(wavvq)

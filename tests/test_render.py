@@ -107,6 +107,8 @@ def test_prosody_features(rng):
     wav16 = (wav * 32767).astype(np.int16)
     vol = cal_volume(wav16)
     assert vol.mean() > 1.0
+    # digital silence must not become 0/0 = NaN
+    assert np.isfinite(cal_volume(np.zeros(4096, np.int16))).all()
     # interpolation to motion fps
     out = interp_to_fps(energy, 60)
     assert out.shape == (60,)
