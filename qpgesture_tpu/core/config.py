@@ -183,14 +183,21 @@ class Config:
 def _build(cls, data: Dict[str, Any]):
     """Construct dataclass `cls` from a dict, recursing into nested fields and
     ignoring unknown keys (so reference-era YAML files still load)."""
+    import typing
     kwargs = {}
+    # resolve string annotations (PEP 563: f.type is a str under
+    # `from __future__ import annotations`) so nested dataclass fields
+    # actually recurse instead of receiving the raw dict
+    hints = typing.get_type_hints(cls)
     fields = {f.name: f for f in dataclasses.fields(cls)}
     for key, value in data.items():
         if key not in fields:
             continue
         f = fields[key]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            kwargs[key] = _build(f.type, value)
+        ftype = hints.get(key, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype) \
+                and isinstance(value, dict):
+            kwargs[key] = _build(ftype, value)
         elif isinstance(value, list) and isinstance(f.default, tuple):
             kwargs[key] = tuple(value)
         else:
@@ -207,11 +214,7 @@ _SECTION_MAP = {
     "match": ("match", MatchConfig),
 }
 
-_TRAIN_KEYS = {
-    "n_poses", "n_codes", "subdivision_stride", "batch_size", "epochs",
-    "save_per_epochs", "lr", "betas", "milestones", "gamma",
-    "model_save_path", "name", "loader_workers",
-}
+_TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
 
 
 def load_config(path: str) -> Config:

@@ -197,17 +197,25 @@ def _edit_distances(q, flat_db):
     return levenshtein_matrix(q, flat_db)
 
 
+def string_distance_matrix(q: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    """wavvq edit-distance dispatch shared by the one-device and sharded
+    paths: q (Q, L) with feat (N, ..., L) for 'combine' mode, or q (Q, G, L)
+    with feat (..., G, L) for 'sum' mode (per-group distances summed,
+    GestureKNN.py:63-66)."""
+    if q.ndim == 3:  # 'sum' mode
+        G = q.shape[1]
+        flat_db = feat.reshape(-1, G, feat.shape[-1])
+        return sum(_edit_distances(q[:, g], flat_db[:, g])
+                   for g in range(G)).astype(jnp.float32)
+    return _edit_distances(
+        q, feat.reshape(-1, feat.shape[-1])).astype(jnp.float32)
+
+
 def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
                      is_strings: bool):
     J, B = codes.shape
-    if is_strings and q.ndim == 3:  # wavvq 'sum' mode: (Q, groups, L)
-        G = q.shape[1]
-        flat_db = feat.reshape(J * B, G, feat.shape[-1])
-        dist = sum(_edit_distances(q[:, g], flat_db[:, g])
-                   for g in range(G)).astype(jnp.float32)
-    elif is_strings:
-        dist = _edit_distances(
-            q, feat.reshape(J * B, feat.shape[-1])).astype(jnp.float32)
+    if is_strings:
+        dist = string_distance_matrix(q, feat)
     else:
         # feat arrives pre-normalized from device_match_db
         dist = cosine_distance_prenorm(q, feat.reshape(J * B, feat.shape[-1]))

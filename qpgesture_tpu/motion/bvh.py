@@ -117,7 +117,10 @@ def parse_bvh(path_or_text: str, max_frames: Optional[int] = None) -> BVHData:
     if max_frames is not None:
         n_frames = min(n_frames, max_frames)
     n_ch = len(channel_cols)
-    flat = np.array(" ".join(lines[i:]).split(), dtype=np.float64)
+    # bulk float parse through the native strtod loop when built (the hot
+    # path of BVH ingestion — qpg_native.cpp); numpy split/parse fallback
+    from ..utils.native import parse_floats_native
+    flat = parse_floats_native(" ".join(lines[i:]), n_frames * n_ch)
     if flat.size < n_frames * n_ch:
         n_frames = flat.size // n_ch  # tolerate short files (header repair)
     values = flat[: n_frames * n_ch].reshape(n_frames, n_ch)

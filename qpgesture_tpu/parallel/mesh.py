@@ -22,6 +22,12 @@ DATA_AXIS = "data"
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        # fail at the source: silently truncating to fewer devices gives
+        # callers wrong sharding or shape errors far from the cause
+        raise ValueError(f"requested a {n}-device mesh but only "
+                         f"{len(devices)} device(s) are available "
+                         f"(platform {jax.default_backend()})")
     return Mesh(np.array(devices[:n]), (axis,))
 
 

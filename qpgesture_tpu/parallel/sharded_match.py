@@ -24,8 +24,7 @@ from ..core.config import MatchConfig
 from ..match.database import MatchDatabase
 from ..match.engine import (DeviceTables, _phase_starts,
                             cosine_distance_matrix, segment_min_argmin,
-                            tables_from_minargs)
-from ..ops.levenshtein import levenshtein_matrix
+                            string_distance_matrix, tables_from_minargs)
 from .mesh import DATA_AXIS, pad_to_multiple
 
 _BIG = np.int32(2 ** 30)
@@ -34,11 +33,12 @@ _BIG = np.int32(2 ** 30)
 def _shard_reduce(cfg: MatchConfig, q, db_feat, db_codes, valid, axis: str,
                   is_strings: bool, B: int):
     """Runs per device inside shard_map: local distances + segment reduction,
-    then cross-device min with scan-order ties."""
+    then cross-device min with scan-order ties. String distances go through
+    the engine's shared dispatch (wavvq 'sum' layout + the Pallas kernel on
+    real TPUs)."""
     Js = db_feat.shape[0]
     if is_strings:
-        dist = levenshtein_matrix(
-            q, db_feat.reshape(Js * B, db_feat.shape[-1])).astype(jnp.float32)
+        dist = string_distance_matrix(q, db_feat)
     else:
         dist = cosine_distance_matrix(
             q, db_feat.reshape(Js * B, db_feat.shape[-1]))
@@ -61,19 +61,15 @@ def _shard_reduce(cfg: MatchConfig, q, db_feat, db_codes, valid, axis: str,
     return gmin, garg, gmatched
 
 
-def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
-                             queries: np.ndarray, feat: np.ndarray,
-                             codes: np.ndarray, is_strings: bool):
-    """queries: (Q, D) or (Q, L) int strings; feat: (J, B, D); codes: (J, B).
-    Returns (mins (Q, K), args (Q, K) global flat index, matched) with the
-    J axis sharded across the mesh."""
-    n_dev = mesh.devices.size
-    J, B = codes.shape
-    feat_p, _ = pad_to_multiple(feat, n_dev)
-    codes_p, _ = pad_to_multiple(codes, n_dev)
-    valid = np.zeros((feat_p.shape[0], B), bool)
-    valid[:J] = True
+from functools import lru_cache
 
+
+@lru_cache(maxsize=None)
+def _sharded_reduce_fn(cfg: MatchConfig, mesh: Mesh, is_strings: bool,
+                       B: int):
+    """Jitted shard_map, cached per (cfg, mesh, mode, B): rebuilding the
+    jit object per call would re-trace (and through a relay, re-lower)
+    every predict_sharded instead of hitting the compile cache."""
     fn = shard_map(
         partial(_shard_reduce, cfg, axis=DATA_AXIS, is_strings=is_strings,
                 B=B),
@@ -81,11 +77,28 @@ def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P(), P()),
         check_rep=False)
+    return jax.jit(fn)
+
+
+def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
+                             queries: np.ndarray, feat: np.ndarray,
+                             codes: np.ndarray, is_strings: bool):
+    """queries: (Q, D) or (Q, L)/(Q, G, L) int strings; feat: (J, B, ...);
+    codes: (J, B). Returns (mins (Q, K), args (Q, K) global flat index,
+    matched) with the J axis sharded across the mesh."""
+    n_dev = mesh.devices.size
+    J, B = codes.shape
+    feat_p, _ = pad_to_multiple(feat, n_dev)
+    codes_p, _ = pad_to_multiple(codes, n_dev)
+    valid = np.zeros((feat_p.shape[0], B), bool)
+    valid[:J] = True
+
     q = jax.device_put(jnp.asarray(queries),
                        NamedSharding(mesh, P()))
-    mins, args, matched = jax.jit(fn)(q, jnp.asarray(feat_p),
-                                      jnp.asarray(codes_p),
-                                      jnp.asarray(valid))
+    fn = _sharded_reduce_fn(cfg, mesh, is_strings, B)
+    mins, args, matched = fn(q, jnp.asarray(feat_p),
+                             jnp.asarray(codes_p),
+                             jnp.asarray(valid))
     return mins, args, matched
 
 

@@ -35,12 +35,12 @@ class ServingPipeline:
         dev, devdb = self.engine.dev, self.engine.devdb
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def impl(n_steps, params, cb, ta, tc, ic, ip, rm, rc, rp):
+        def impl(n_steps, params, cb, ta, tc, ic, ip, rb, rm, rc, rp):
             blocks, phases, votes = _predict_impl(
                 cfg, n_steps, dev, devdb,
                 ta if cfg.use_aud else None,
                 tc if cfg.use_txt else None,
-                ic, ip, None, rm, rc, rp)
+                ic, ip, rb, rm, rc, rp)
             Q = blocks.shape[0]
             W = Q // n_steps
             codes = blocks.reshape(
@@ -57,29 +57,40 @@ class ServingPipeline:
     def serve(self, test_audio: Optional[np.ndarray],
               test_context: Optional[np.ndarray] = None,
               init_code: int = 0,
-              init_phase: Optional[np.ndarray] = None
+              init_phase: Optional[np.ndarray] = None,
+              rng: Optional[np.random.RandomState] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
-        """One clip -> (codes (W, 30), poses (W*240, 135) denormalized)."""
+        """One clip -> (codes (W, 30), poses (W*240, 135) denormalized).
+
+        Matching semantics are identical to CodeKNNEngine.predict with the
+        same rng: rand bits (no-phase aud+txt vote) and per-window re-seeds
+        (non-chaining configs) come from engine._chain_inputs, not just a
+        clip-start reset."""
         cfg = self.engine.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
         lead = test_audio if test_audio is not None else test_context
         W, S = lead.shape[:2]
         if init_phase is None:
             init_phase = np.zeros((8, 16), np.float32)
         Q = W * S
-        reset_mask = np.zeros((Q,), bool)
-        reset_mask[0] = True
-        reset_code = np.zeros((Q,), np.int32)
-        reset_code[0] = init_code
-        reset_phase = np.zeros((Q, 8, 16), np.float32)
-        reset_phase[0] = init_phase
+        rand_np, (rmask, rcode, rphase) = self.engine._chain_inputs(W, S,
+                                                                    rng)
+        if rmask is None:
+            rmask = np.zeros((Q,), bool)
+            rcode = np.zeros((Q,), np.int32)
+            rphase = np.zeros((Q, 8, 16), np.float32)
+        rmask = rmask.copy(); rcode = rcode.copy(); rphase = rphase.copy()
+        rmask[0] = True
+        rcode[0] = init_code
+        rphase[0] = init_phase
 
-        inputs = jax.device_put((test_audio, test_context, reset_mask,
-                                 reset_code, reset_phase))
-        ta, tc, rm, rc, rp = inputs
+        inputs = jax.device_put((test_audio, test_context, rand_np,
+                                 rmask, rcode, rphase))
+        ta, tc, rb, rm, rc, rp = inputs
         codes_d, poses_d, _ = self._impl(
             S, self.params, self.cb, ta, tc,
             jnp.asarray(np.int32(init_code)), jnp.asarray(init_phase),
-            rm, rc, rp)
+            rb, rm, rc, rp)
         codes, poses = jax.device_get((codes_d, poses_d))
         if self.data_mean is not None:
             std = np.clip(np.asarray(self.data_std), 0.01, None)

@@ -199,13 +199,30 @@ class _PyStore:
     def __init__(self, path: str):
         self._mm = np.memmap(path, dtype=np.uint8, mode="r")
         size = self._mm.shape[0]
+        # mirror the native reader's tail-index validation
+        # (qpg_store_open): a truncated or corrupt store must fail to
+        # open here too, not read garbage records
+        if size < 32:
+            raise OSError(f"store too small: {path}")
+        magic = int.from_bytes(self._mm[:8].tobytes(), "little")
+        if magic != 0x51504753544F5245:  # QPG_MAGIC (qpg_native.cpp:112)
+            raise OSError(f"bad magic in store: {path}")
         self._n = int.from_bytes(self._mm[size - 16:size - 8].tobytes(),
                                  "little")
         index_off = int.from_bytes(self._mm[size - 8:].tobytes(), "little")
+        if (index_off < 8 or index_off > size
+                or self._n > (size - index_off) // 16
+                or index_off + 16 * self._n + 16 != size):
+            raise OSError(f"corrupt store index: {path}")
         idx = self._mm[index_off:index_off + 16 * self._n].tobytes()
         arr = np.frombuffer(idx, np.uint64)
         self._offsets = arr[:self._n]
         self._lengths = arr[self._n:]
+        if self._n and (int(self._offsets.max(initial=0)) > index_off
+                        or any(int(o) + int(l) > index_off
+                               for o, l in zip(self._offsets,
+                                               self._lengths))):
+            raise OSError(f"corrupt store records: {path}")
 
     def __len__(self) -> int:
         return self._n

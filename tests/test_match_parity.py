@@ -215,6 +215,40 @@ def test_serving_pipeline_matches_predict_plus_decode():
     assert poses.shape == (2 * 240, 135)
 
 
+@pytest.mark.parametrize("preset", ["no_phase", "mfcc"])
+def test_serving_pipeline_rng_configs(preset):
+    """serve() must match predict() for configs needing rng machinery: the
+    no-phase aud+txt random vote (rand bits) and non-chaining mfcc
+    per-window re-seeds — a clip-start reset alone silently diverges."""
+    import jax
+    import jax.numpy as jnp
+    from qpgesture_tpu.core.config import VQVAEConfig
+    from qpgesture_tpu.models.vqvae import VQVAE
+    from qpgesture_tpu.serve import ServingPipeline
+
+    rng = np.random.RandomState(29)
+    fx = make_fixture(rng, n_seq=4, n_test=3, codebook=32)
+    cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
+                         "codebook_size": 32})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+
+    vq_cfg = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=32,
+                         input_dim=135, sample_length=30)
+    model = VQVAE(vq_cfg)
+    params, cb = model.init(jax.random.PRNGKey(0))
+    cb = model.init_codebook_from_batch(
+        params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
+        jax.random.PRNGKey(1))
+    pipe = ServingPipeline(engine, model, params, cb)
+    codes, _ = pipe.serve(test_audio, test_context, init_code=3,
+                          rng=np.random.RandomState(cfg.seed))
+    res = engine.predict(test_audio, test_context, init_code=3,
+                         init_phase=np.zeros((8, 16), np.float32),
+                         rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(codes, res.codes)
+
+
 def test_desired_k_nonzero():
     """desired_k > 0 selects the k-th best fusion candidate (non-phase
     paths, GestureKNN.py:588)."""

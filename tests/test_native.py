@@ -118,3 +118,10 @@ def test_record_store_rejects_truncated(tmp_path, rng):
         f.write(bytes(bad))
     with pytest.raises(OSError):
         native.RecordStore.open(corrupt)
+    # the pure-python fallback reader must enforce the SAME contract
+    for broken in (trunc, corrupt):
+        with pytest.raises(OSError):
+            native._PyStore(broken)
+    ok = native._PyStore(path)
+    assert len(ok) == 5 and ok[2] == bytes([2]) * 100
+    ok.close()

@@ -91,6 +91,27 @@ def test_predict_sharded_matches_single_device():
             np.testing.assert_allclose(got.phases, want.phases, atol=1e-5)
 
 
+def test_predict_sharded_wavvq_sum_mode():
+    """predict_sharded must handle the wavvq 'sum' layout ((Q, G, L)
+    grouped strings) like the single-device engine."""
+    from qpgesture_tpu.match.engine import CodeKNNEngine
+
+    import dataclasses
+    rng = np.random.RandomState(909)
+    fx = make_fixture(rng, n_seq=4, n_test=1, codebook=48)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=48,
+                              wavvq_mode="sum")
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                        wavvq=fx["wavvq"])
+    ta = stage_test_audio(cfg, db, wavvq=fx["test_wavvq"])
+    tc = stage_test_context(db, fx["test_context"])
+    engine = CodeKNNEngine(cfg, db)
+    want = engine.predict(ta, tc, rng=np.random.RandomState(cfg.seed))
+    got = engine.predict_sharded(make_mesh(8), ta, tc,
+                                 rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got.codes, want.codes)
+
+
 def test_predict_sharded_nonchaining_multiwindow():
     """Non-chaining mfcc preset with W>1: the sharded path builds the same
     per-window re-seed resets (and rand interleave) as predict()."""
