@@ -138,40 +138,50 @@ class PhaseExtractor:
         cfg = self.model.cfg
         t = cfg.frames
 
-        def forward(variables, window_vel):
-            # window_vel: (B, T-1, C) velocity rows (the reference feeds
-            # T-1 rows plus a leading zero to reach T)
-            B = window_vel.shape[0]
-            zero = jnp.zeros((B, 1, window_vel.shape[2]), jnp.float32)
-            x = jnp.concatenate([zero, window_vel], axis=1)
+        def forward(variables, vel_dev, starts):
+            # Stride-1 windows are gathered ON DEVICE from the HBM-resident
+            # velocity array: window i covers vel[starts[i] : starts[i]+T-1]
+            # plus a leading zero row (the reference feeds T-1 velocity rows
+            # to fill its T-frame window, pose2phase PAE.py:491-507).
+            # Building the overlapping windows on host would upload ~T/1
+            # windows x T frames — ~240x the recording — per extraction
+            # (measured 140 s for a 33k-frame recording through a
+            # tunnel-attached host; the device gather makes it one upload).
+            win = vel_dev[starts[:, None] + jnp.arange(t - 1)[None, :]]
+            B = win.shape[0]
+            zero = jnp.zeros((B, 1, win.shape[2]), jnp.float32)
+            x = jnp.concatenate([zero, win], axis=1)
             x = x.transpose(0, 2, 1).reshape(B, -1)
             _, _, _, params = self.model.apply(variables, x, train=False)
             return jnp.concatenate([q.squeeze(-1)[:, None, :]
                                     for q in params], axis=1)  # (B, 4, C)
 
         jitted = jax.jit(forward)
-        self._forward = lambda wins: jitted(self.variables, wins)
+        self._forward = lambda vel_dev, starts: jitted(self.variables,
+                                                       vel_dev, starts)
         self._t = t
 
     def pose_to_phase(self, pose: np.ndarray, data_mean: np.ndarray,
-                      data_std: np.ndarray, batch: int = 256) -> np.ndarray:
+                      data_std: np.ndarray, batch: int = 1024) -> np.ndarray:
         """pose: (T, 135) raw rotations. Returns (T, 4, 8) dense phase.
 
         Mirrors pose2phase: normalize, frame-diff velocity, pad 120/119,
-        then a stride-1 window per output frame — here batched.
+        then a stride-1 window per output frame — batched, with the
+        velocity array uploaded once and windows gathered on device.
         """
-        t = self._t
         std = np.clip(data_std, 0.01, None)
         pose = (pose - data_mean) / std
         vel = pose[1:] - pose[:-1]
         vel = np.pad(vel, ((120, 119), (0, 0)))
         n = pose.shape[0]
-        # window i covers vel[i : i + t - 1]
+        vel_dev = jax.device_put(vel.astype(np.float32))
         out = np.zeros((n, 4, self.model.cfg.phase_channels), np.float32)
-        idx = np.arange(t - 1)
         for s in range(0, n, batch):
             e = min(s + batch, n)
-            wins = vel[np.arange(s, e)[:, None] + idx[None, :]]
+            starts = np.arange(s, s + batch, dtype=np.int32)
+            # fixed batch width -> one compiled shape; tail windows beyond
+            # n gather clipped rows and are discarded below
+            starts = np.minimum(starts, n - 1)
             out[s:e] = np.asarray(self._forward(
-                jnp.asarray(wins, jnp.float32)))
+                vel_dev, jnp.asarray(starts)))[:e - s]
         return out
