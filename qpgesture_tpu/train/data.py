@@ -192,6 +192,85 @@ def store_to_dataset(path: str, n_poses: int, stride: int, fps: int = 60,
                                       data_mean, data_std)
 
 
+class DeviceClipStore:
+    """HBM-resident training input: raw clips ship to device ONCE and each
+    batch's overlapping windows are gathered on device.
+
+    The host pipeline (WindowedDataset.from_clips) materializes stride-32
+    overlapping 240-frame windows — ~n_poses/stride times the raw clips —
+    and re-uploads them every epoch. Like the phase extractor's device
+    gather, this stores the concatenated raw clips in HBM (one upload for
+    the whole run) and a jitted gather+normalize produces each batch from
+    tiny (B,) start indices. Batches equal
+    WindowedDataset.from_clips(...).batches(...) with the same seed to
+    within one f32 ulp (XLA may fuse the normalize division; tested),
+    minus the per-epoch link traffic.
+    """
+
+    def __init__(self, clips: List[dict], n_poses: int, stride: int,
+                 data_mean=None, data_std=None):
+        import jax
+        import jax.numpy as jnp
+
+        starts: List[int] = []
+        offset = 0
+        arrays = []
+        for clip in clips:
+            poses = np.asarray(clip["poses"])
+            n_sub = math.floor((len(poses) - n_poses) / stride) + 1
+            for i in range(max(n_sub, 0)):
+                starts.append(offset + i * stride)
+            arrays.append(poses)
+            offset += len(poses)
+        flat = np.concatenate(arrays).astype(np.float32)
+        self.n_poses = n_poses
+        self._starts = np.asarray(starts, np.int32)
+        self._flat = jax.device_put(flat)
+        mean = None if data_mean is None else np.asarray(data_mean,
+                                                         np.float32)
+        std = None if data_std is None else np.clip(
+            np.asarray(data_std, np.float32), 0.01, None)
+
+        def gather(flat_dev, idx):
+            win = flat_dev[idx[:, None]
+                           + jnp.arange(n_poses)[None, :]]  # (B, n_poses, C)
+            if mean is not None:
+                win = (win - mean) / std
+            return win
+
+        self._gather = jax.jit(gather)
+
+    @classmethod
+    def from_store(cls, path: str, n_poses: int, stride: int,
+                   data_mean=None, data_std=None) -> "DeviceClipStore":
+        """Build from a raw-clip RecordStore (clips_to_store output)."""
+        import io
+
+        from ..utils.native import RecordStore
+
+        store = RecordStore.open(path)
+        clips = [{"poses": np.load(io.BytesIO(store[i]))["poses"]}
+                 for i in range(len(store))]
+        store.close()
+        return cls(clips, n_poses, stride, data_mean, data_std)
+
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                seed: int = 0, drop_last: bool = True) -> Iterator:
+        """Yields device-resident (B, n_poses, C) batches (normalized)."""
+        import jax.numpy as jnp
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        stop = n - (n % batch_size) if drop_last else n
+        for s in range(0, stop, batch_size):
+            idx = self._starts[order[s:s + batch_size]]
+            yield self._gather(self._flat, jnp.asarray(idx))
+
+
 def device_prefetch(batches: Iterator, size: int = 2) -> Iterator:
     """Overlap host->device transfer with compute: keep `size` batches in
     flight on device. Essential when the host link is slow (the batch upload

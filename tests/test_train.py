@@ -156,6 +156,53 @@ def test_gradient_checkpointing_same_results(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_device_clip_store_matches_host_loader(rng):
+    """DeviceClipStore (raw clips HBM-resident, windows gathered on device)
+    yields the host WindowedDataset pipeline's batches (same windows, same
+    shuffle order; the normalize division may differ by one f32 ulp under
+    XLA fusion)."""
+    from qpgesture_tpu.train.data import DeviceClipStore, WindowedDataset
+
+    clips = [{"poses": rng.randn(300, 9).astype(np.float32)},
+             {"poses": rng.randn(410, 9).astype(np.float32)}]
+    mean = rng.randn(9).astype(np.float32)
+    std = (np.abs(rng.randn(9)) + 0.3).astype(np.float32)
+    host = WindowedDataset.from_clips(clips, n_poses=40, stride=16,
+                                      data_mean=mean, data_std=std)
+    dev = DeviceClipStore(clips, n_poses=40, stride=16,
+                          data_mean=mean, data_std=std)
+    assert len(host) == len(dev)
+    n_batches = 0
+    for hb, db in zip(host.batches(8, seed=5),
+                      dev.batches(8, seed=5)):
+        np.testing.assert_allclose(hb, np.asarray(db), atol=1e-6)
+        n_batches += 1
+    assert n_batches == len(host) // 8
+    # without normalization the gather is bit-exact
+    host_raw = WindowedDataset.from_clips(clips, n_poses=40, stride=16)
+    dev_raw = DeviceClipStore(clips, n_poses=40, stride=16)
+    for hb, db in zip(host_raw.batches(8, seed=5),
+                      dev_raw.batches(8, seed=5)):
+        np.testing.assert_array_equal(hb, np.asarray(db))
+
+
+def test_trainer_accepts_device_clip_store(rng):
+    """The VQ-VAE trainer consumes DeviceClipStore batches directly."""
+    from qpgesture_tpu.train.data import DeviceClipStore
+
+    trainer = VQVAETrainer(SMALL, TCFG, mesh=make_mesh(8))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample_len=32)
+    clips = [{"poses": rng.randn(200, SMALL.input_dim).astype(np.float32)}]
+    store = DeviceClipStore(clips, n_poses=32, stride=8)
+    batches = list(store.batches(16, seed=0))
+    assert batches
+    state = trainer.init_codebook(state, np.asarray(batches[0]),
+                                  jax.random.PRNGKey(1))
+    state, loss, _ = trainer.train_step(state, batches[0],
+                                        jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
 def test_multiepoch_convergence_with_scalar_history(tmp_path, rng):
     """Multi-epoch synthetic convergence with the persistent scalar sink:
     recon loss and codebook fit must trend down, codebook usage must not
