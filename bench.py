@@ -154,6 +154,10 @@ def _bench_train(rng):
     batch = jax.device_put(batch)
     state, loss, _ = trainer.train_step(state, batch, key)  # compile
     jax.block_until_ready(loss)
+    # p50 of single synced steps: on tunnel-attached hosts each execute is
+    # a relay RPC, so per-step figures include the link round trip — the
+    # median is the robust cross-round comparison (pure device compute for
+    # this step is ~18 ms, see ARCHITECTURE.md)
     times = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
