@@ -211,8 +211,9 @@ def string_distance_matrix(q: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         q, feat.reshape(-1, feat.shape[-1])).astype(jnp.float32)
 
 
-def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
-                     is_strings: bool):
+def _minargs_one_side(cfg: MatchConfig, q, feat, codes, is_strings: bool):
+    """Distance matrix + per-code segment-min for one (audio|text) side.
+    Returns (mins (Q, 512), args (Q, 512) flat argmin, matched (Q, 512))."""
     J, B = codes.shape
     if is_strings:
         dist = string_distance_matrix(q, feat)
@@ -220,8 +221,13 @@ def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
         # feat arrives pre-normalized from device_match_db
         dist = cosine_distance_prenorm(q, feat.reshape(J * B, feat.shape[-1]))
     seg = codes.reshape(-1)
-    mins, args, matched = segment_min_argmin(
-        dist, seg, cfg.codebook_size, cfg.unmatched_dist)
+    return segment_min_argmin(dist, seg, cfg.codebook_size,
+                              cfg.unmatched_dist)
+
+
+def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
+                     is_strings: bool):
+    mins, args, matched = _minargs_one_side(cfg, q, feat, codes, is_strings)
     return tables_from_minargs(cfg, mins, args, matched, blocks, starts)
 
 
@@ -246,6 +252,26 @@ def _tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
     return DeviceTables(aud_rank=aud[0], aud_block=aud[1], aud_seq=aud[2],
                         aud_start=aud[3], txt_rank=txt[0], txt_block=txt[1],
                         txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _raw_tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
+                     test_context):
+    """Phase 1 without rank conversion: the raw per-code (min distance,
+    argmin position, matched) triples — what the host-side reference-ties
+    fusion consumes."""
+    aud = txt = None
+    if cfg.use_aud:
+        W, S = test_audio.shape[:2]
+        q = test_audio.reshape(W * S, *test_audio.shape[2:])
+        aud = _minargs_one_side(cfg, q, devdb.aud_feat, devdb.aud_codes,
+                                cfg.audio_mode == "wavvq_feat")
+    if cfg.use_txt:
+        W, S = test_context.shape[:2]
+        q = test_context.reshape(W * S, -1)
+        txt = _minargs_one_side(cfg, q, devdb.txt_feat, devdb.txt_codes,
+                                False)
+    return aud, txt
 
 
 def build_device_tables(cfg: MatchConfig, db: MatchDatabase,
@@ -533,6 +559,84 @@ class CodeKNNEngine:
         codes = blocks.reshape(W, S * cfg.step_sz)[:, :cfg.num_frames_code]
         return codes.astype(jnp.int32), phases, votes, (W, S)
 
+    def _host_tables(self, side: str, mins: np.ndarray, args: np.ndarray,
+                     matched: np.ndarray, W: int, S: int):
+        """Assemble oracle CandidateTables from the device's raw per-code
+        (min, argmin, matched) triples: the handoff between device phase-1
+        and the host reference-ties fusion."""
+        from .oracle import CandidateTable
+        db, cfg = self.db, self.cfg
+        if side == "aud":
+            codes, blocks, frames = db.aud_codes, db.aud_blocks, db.aud_frames
+        else:
+            codes, blocks, frames = db.txt_codes, db.txt_blocks, db.txt_frames
+        J, B = codes.shape
+        flat_blocks = blocks.reshape(J * B, cfg.step_sz)
+        code_rep = np.tile(np.arange(cfg.codebook_size, dtype=np.int32)
+                           [:, None], (1, cfg.step_sz))
+        mins = np.asarray(mins)
+        args = np.asarray(args)
+        matched = np.asarray(matched)
+        out = []
+        for w in range(W):
+            row = []
+            for s in range(S):
+                qi = w * S + s
+                m = matched[qi]
+                blk = np.where(m[:, None], flat_blocks[args[qi]], code_rep)
+                seq = np.where(m, args[qi] // B, 0).astype(np.int32)
+                frame = np.where(m, frames[args[qi] % B], 0).astype(np.int32)
+                row.append(CandidateTable(
+                    dist=mins[qi].astype(np.float32),
+                    block=blk.astype(np.int32), seq=seq, frame=frame))
+            out.append(row)
+        return out
+
+    def predict_reference_ties(self, test_audio: Optional[np.ndarray],
+                               test_context: Optional[np.ndarray] = None,
+                               init_code: Optional[int] = None,
+                               init_phase: Optional[np.ndarray] = None,
+                               rng: Optional[np.random.RandomState] = None
+                               ) -> OracleResult:
+        """Bit-parity mode against the reference BINARY, not just the
+        stable-tie oracle (the BASELINE.json acceptance criterion on the
+        wavvq path).
+
+        The reference ranks with NumPy's default *unstable* introsort
+        (argsort().argsort(), GestureKNN.py:540,553) and sums ranks in
+        float64 — integer Levenshtein distances tie heavily, so tie order
+        is observable. Reproducing introsort tie order and f64 rounding
+        crumbs inside an f32/int32 device scan is not possible, so this
+        mode splits the program at the semantically safe seam: phase 1
+        (the O(DB) candidate scoring — the reference's ~5-minute
+        bottleneck) runs on device and yields EXACT per-code distance
+        tables (Levenshtein distances are integers, exact in f32); phase 2
+        (the S-step-per-window fusion, microseconds of 512-element rank
+        arithmetic) runs on host via the oracle's tie_kind='reference'
+        path, which is verified bit-equal to the actual reference
+        implementation (tests/test_reference_cross.py). Exact for
+        wavvq_feat; cosine modes inherit the device's f32 distance
+        rounding (f64 in the reference) and are near-exact.
+
+        The default predict() keeps everything on device with stable,
+        deterministic tie order — preferable unless byte-identical
+        result.npz output vs the original binary is required."""
+        cfg = self.cfg
+        lead = test_audio if test_audio is not None else test_context
+        W, S = lead.shape[:2]
+        ta = jnp.asarray(test_audio) if cfg.use_aud else None
+        tc = jnp.asarray(test_context) if cfg.use_txt else None
+        aud_raw, txt_raw = jax.device_get(
+            _raw_tables_impl(cfg, self.devdb, ta, tc))
+        aud_tables = self._host_tables("aud", *aud_raw, W, S) \
+            if cfg.use_aud else None
+        txt_tables = self._host_tables("txt", *txt_raw, W, S) \
+            if cfg.use_txt else None
+        from .oracle import CodeKNNOracle
+        oracle = CodeKNNOracle(self.db, tie_kind="reference")
+        return oracle.predict_with_tables(aud_tables, txt_tables, init_code,
+                                          init_phase, rng)
+
     def predict_batch(self, clip_audio: Optional[np.ndarray],
                       clip_context: Optional[np.ndarray] = None,
                       init_codes: Optional[np.ndarray] = None,
@@ -554,9 +658,27 @@ class CodeKNNEngine:
         non-chaining + random-vote combination.
         """
         cfg = self.cfg
-        rng = rng or np.random.RandomState(cfg.seed)
         lead = clip_audio if clip_audio is not None else clip_context
         C, W, S = lead.shape[:3]
+        (flat_audio, flat_ctx, reset_mask, reset_code, reset_phase,
+         rand_bits) = self._batch_inputs(C, W, S, clip_audio, clip_context,
+                                         init_codes, init_phases, rng)
+        inputs = jax.device_put((flat_audio, flat_ctx, reset_mask,
+                                 reset_code, reset_phase))
+        ta, tc, rm, rc, rp = inputs
+        blocks, phases, votes = _predict_impl(
+            cfg, S, self.dev, self.devdb,
+            ta if cfg.use_aud else None, tc if cfg.use_txt else None,
+            jnp.asarray(np.int32(0)), jnp.zeros((8, 16), jnp.float32),
+            rand_bits, rm, rc, rp)
+        return self._batch_unpack(blocks, phases, votes, C, W, S)
+
+    def _batch_inputs(self, C, W, S, clip_audio, clip_context, init_codes,
+                      init_phases, rng):
+        """Flattened queries + per-clip (and, for non-chaining configs,
+        per-window) reset masks + rand bits for a C-clip batch."""
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
         if init_codes is None:
             from .oracle import CodeKNNOracle
             oracle = CodeKNNOracle(self.db)
@@ -596,15 +718,11 @@ class CodeKNNEngine:
         rand_bits = None
         if not cfg.use_phase and cfg.use_aud and cfg.use_txt:
             rand_bits = jnp.asarray((rng.rand(Q) > 0.5).astype(np.int32))
+        return (flat_audio, flat_ctx, reset_mask, reset_code, reset_phase,
+                rand_bits)
 
-        inputs = jax.device_put((flat_audio, flat_ctx, reset_mask,
-                                 reset_code, reset_phase))
-        ta, tc, rm, rc, rp = inputs
-        blocks, phases, votes = _predict_impl(
-            cfg, S, self.dev, self.devdb,
-            ta if cfg.use_aud else None, tc if cfg.use_txt else None,
-            jnp.asarray(np.int32(0)), jnp.zeros((8, 16), jnp.float32),
-            rand_bits, rm, rc, rp)
+    def _batch_unpack(self, blocks, phases, votes, C, W, S) -> list:
+        cfg = self.cfg
         blocks, phases, votes = jax.device_get((blocks, phases, votes))
         results = []
         blocks = np.asarray(blocks).reshape(C, W, S * cfg.step_sz)
@@ -619,6 +737,34 @@ class CodeKNNEngine:
             results.append(OracleResult(codes=codes, phases=phases_np,
                                         votes=votes_np))
         return results
+
+    def predict_batch_sharded(self, mesh, clip_audio: Optional[np.ndarray],
+                              clip_context: Optional[np.ndarray] = None,
+                              init_codes: Optional[np.ndarray] = None,
+                              init_phases: Optional[np.ndarray] = None,
+                              rng: Optional[np.random.RandomState] = None
+                              ) -> list:
+        """Batched serving over a DATABASE-sharded mesh: C clips in one
+        program with the candidate scoring sharded along J (the O(DB) work)
+        and the fusion scan replicated — predict_batch's semantics at
+        predict_sharded's scale. Bit-identical per clip to predict_batch."""
+        from ..parallel.sharded_match import build_sharded_tables
+        cfg = self.cfg
+        lead = clip_audio if clip_audio is not None else clip_context
+        C, W, S = lead.shape[:3]
+        (flat_audio, flat_ctx, reset_mask, reset_code, reset_phase,
+         rand_bits) = self._batch_inputs(C, W, S, clip_audio, clip_context,
+                                         init_codes, init_phases, rng)
+        tables = build_sharded_tables(
+            cfg, self.db, mesh,
+            flat_audio if cfg.use_aud else None,
+            flat_ctx if cfg.use_txt else None)
+        blocks, phases, votes = _fuse_scan(
+            cfg, S, self.dev, tables,
+            jnp.asarray(np.int32(0)), jnp.zeros((8, 16), jnp.float32),
+            rand_bits, *jax.device_put((reset_mask, reset_code,
+                                        reset_phase)))
+        return self._batch_unpack(blocks, phases, votes, C, W, S)
 
     def predict_sharded(self, mesh, test_audio: Optional[np.ndarray],
                         test_context: Optional[np.ndarray] = None,

@@ -312,9 +312,36 @@ class CodeKNNOracle:
         code result[i-1][-1] and the previous window's final phase
         (GestureKNN.py:789-802)."""
         cfg, db = self.cfg, self.db
-        rng = rng or np.random.RandomState(cfg.seed)
         W = test_audio.shape[0] if test_audio is not None \
             else test_context.shape[0]
+        aud_tables = None
+        if cfg.use_aud:
+            aud_tables = [[audio_candidates(db, test_audio[w, s])
+                           for s in range(test_audio.shape[1])]
+                          for w in range(W)]
+        txt_tables = None
+        if cfg.use_txt:
+            txt_tables = [[text_candidates(db, test_context[w, s])
+                           for s in range(test_context.shape[1])]
+                          for w in range(W)]
+        return self.predict_with_tables(aud_tables, txt_tables, init_code,
+                                        init_phase, rng)
+
+    def predict_with_tables(self, aud_tables, txt_tables,
+                            init_code: Optional[int] = None,
+                            init_phase: Optional[np.ndarray] = None,
+                            rng: Optional[np.random.RandomState] = None
+                            ) -> OracleResult:
+        """The sequential half of predict() over PREcomputed candidate
+        tables ([W][S] lists of CandidateTable). Table construction draws no
+        randomness, so running it up front preserves the reference's rng
+        order (init draw, then per-window re-seeds / rand bits). This entry
+        point is also how the device engine's reference-ties mode works:
+        phase-1 tables come off the chip, phase-2 fuses here in the
+        reference's own float64 arithmetic."""
+        cfg = self.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        W = len(aud_tables) if aud_tables is not None else len(txt_tables)
         if init_code is None:
             init_code, got_phase = self.init_code_phase(rng)
             if init_phase is None:
@@ -327,20 +354,14 @@ class CodeKNNOracle:
                 # mfcc/raw dispatches pass no seeds: every window draws a
                 # fresh init (GestureKNN.py:797,804,806 -> :510-522)
                 seed_code, seed_phase = self.init_code_phase(rng)
-            aud_tables = None
-            if cfg.use_aud:
-                aud_tables = [audio_candidates(db, test_audio[w, s])
-                              for s in range(test_audio.shape[1])]
-            txt_tables = None
-            if cfg.use_txt:
-                txt_tables = [text_candidates(db, test_context[w, s])
-                              for s in range(test_context.shape[1])]
-            n_steps = (len(aud_tables) if aud_tables else len(txt_tables))
+            aud_w = aud_tables[w] if cfg.use_aud else None
+            txt_w = txt_tables[w] if cfg.use_txt else None
+            n_steps = len(aud_w) if aud_w else len(txt_w)
             rand_bits = (rng.rand(n_steps) > 0.5).astype(np.int32) \
                 if (not cfg.use_phase and cfg.use_aud and cfg.use_txt) \
                 else None
             codes, phases, votes = self.search_window(
-                aud_tables, txt_tables, seed_code, seed_phase, rand_bits)
+                aud_w, txt_w, seed_code, seed_phase, rand_bits)
             all_codes.append(codes)
             if phases:
                 all_phases.append(phases[-1])

@@ -185,7 +185,7 @@ def _find_safe_seed(n_seq=J, n_frm=398, limit=240 - 8) -> int:
 _SAFE_SEED = _find_safe_seed()
 
 
-def _run_ours(arrays, preset: str):
+def _run_ours(arrays, preset: str, reference_ties: bool = False):
     from qpgesture_tpu.core.config import MATCH_PRESETS
     from qpgesture_tpu.core.schemas import CodebookSignature, DatabaseBundle
     from qpgesture_tpu.match.database import (stage_database,
@@ -210,8 +210,9 @@ def _run_ours(arrays, preset: str):
     test_ctx = stage_test_context(db, arrays["test_data"]["context"])
     engine = CodeKNNEngine(cfg, db)
     seed = _SAFE_SEED if preset == "wavvq" else 123456
-    res = engine.predict(test_audio, test_ctx,
-                         rng=np.random.RandomState(seed))
+    predict = engine.predict_reference_ties if reference_ties \
+        else engine.predict
+    res = predict(test_audio, test_ctx, rng=np.random.RandomState(seed))
     return res.codes
 
 
@@ -265,15 +266,26 @@ def test_reference_cross_wavlm(cross_setup):
 
 
 def test_reference_cross_wavvq(cross_setup):
-    """wavvq Levenshtein + phase + text + audio config: integer edit
-    distances tie heavily, and the reference ranks ties with NumPy's
-    unstable introsort — the oracle's tie_kind='reference' mode reproduces
-    that bit-exactly; the deterministic (stable-tie) engine must still agree
-    wherever ties don't decide the winner."""
+    """wavvq Levenshtein + phase + text + audio config — the BASELINE.json
+    acceptance criterion ('identical selected codebook indices' on the
+    wavvq path). Integer edit distances tie heavily, and the reference
+    ranks ties with NumPy's unstable introsort, so:
+
+      * the DEVICE ENGINE's reference-ties mode (device phase-1 candidate
+        scoring + host reference-arithmetic fusion,
+        engine.predict_reference_ties) must select bit-identical indices
+        to the actual reference implementation;
+      * the fully-host oracle with tie_kind='reference' must too;
+      * the default stable-tie engine must agree wherever ties don't
+        decide the winner (divergences are pure tie-order artifacts,
+        quantified by examples/tie_divergence_sweep.py).
+    """
     gk, paths, arrays = cross_setup
     ref = _run_reference(gk, paths, use_wavvq=True)
     oracle_ref_ties = _run_oracle(arrays, "wavvq", tie_kind="reference")
     np.testing.assert_array_equal(oracle_ref_ties, ref)
+    engine_ref_ties = _run_ours(arrays, "wavvq", reference_ties=True)
+    np.testing.assert_array_equal(engine_ref_ties, ref)
     # the stable-tie engine should agree with the reference on a clear
     # majority of selections (divergences are pure tie-order artifacts)
     engine_codes = _run_ours(arrays, "wavvq")
