@@ -96,3 +96,90 @@ class ServingPipeline:
             std = np.clip(np.asarray(self.data_std), 0.01, None)
             poses = poses * std + np.asarray(self.data_mean)
         return np.asarray(codes), np.asarray(poses)
+
+
+class StreamingSession:
+    """Incremental (live-audio) matching: one 4 s window per call, with the
+    seed state persistent on device between calls.
+
+    The sequential structure of the search (seed code/phase chaining across
+    windows, GestureKNN.py:789-802) already permits window-at-a-time
+    execution: each push_window uploads only that window's staged features
+    (wavvq: 8x11 int32, ~350 B; wavlm_feat: 8x6144 f32, ~200 KB), runs the
+    single-window program against the HBM-resident database, and leaves the
+    new seed code/phase in HBM for the next call. Bit-identical to
+    whole-clip CodeKNNEngine.predict over the same windows (parity test in
+    tests/test_match_parity.py).
+
+    Only window-chaining configs stream (non-chaining modes re-seed every
+    window from host randomness — there is no state to carry). The
+    no-phase aud+txt vote mode draws its per-step rand bits from the
+    session rng at each push, matching predict()'s draw order.
+    """
+
+    def __init__(self, engine: CodeKNNEngine,
+                 init_code: Optional[int] = None,
+                 init_phase: Optional[np.ndarray] = None,
+                 rng: Optional[np.random.RandomState] = None):
+        cfg = engine.cfg
+        assert cfg.chain_windows, (
+            "streaming requires a window-chaining config; non-chaining "
+            "modes (mfcc/raw presets) re-seed every window")
+        self.engine = engine
+        self.cfg = cfg
+        self.rng = rng or np.random.RandomState(cfg.seed)
+        if init_code is None:
+            from .match.oracle import CodeKNNOracle
+            init_code, got_phase = CodeKNNOracle(
+                engine.db).init_code_phase(self.rng)
+            if init_phase is None:
+                init_phase = got_phase
+        if init_phase is None:
+            init_phase = np.zeros((8, 16), np.float32)
+        self._code_d, self._phase_d = jax.device_put(
+            (np.int32(init_code), np.asarray(init_phase, np.float32)))
+        self._needs_rand = (not cfg.use_phase and cfg.use_aud
+                            and cfg.use_txt)
+        dev, devdb = engine.dev, engine.devdb
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def step(n_steps, ta, tc, code, phase, rb):
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb,
+                ta if cfg.use_aud else None,
+                tc if cfg.use_txt else None,
+                code, phase, rb)
+            codes = blocks.reshape(
+                1, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            # next window's seeds: the last kept code and the final step's
+            # phase tail — exactly what predict() chains host-side
+            new_code = codes[0, -1].astype(jnp.int32)
+            new_phase = phases[-1]
+            return codes.astype(jnp.int32), new_phase, new_code, votes
+
+        self._step = step
+
+    def push_window(self, test_audio_w: Optional[np.ndarray],
+                    test_context_w: Optional[np.ndarray] = None
+                    ) -> np.ndarray:
+        """One staged window in -> (30,) int32 codes out.
+
+        test_audio_w: (S, ...) one window of stage_test_audio output;
+        test_context_w: (S, 384) one window of stage_test_context output.
+        The fetched codes are the only download; seeds stay on device."""
+        cfg = self.cfg
+        lead = test_audio_w if test_audio_w is not None else test_context_w
+        S = lead.shape[0]
+        rb = None
+        if self._needs_rand:
+            rb = (self.rng.rand(S) > 0.5).astype(np.int32)
+        ta = test_audio_w[None] if cfg.use_aud else None
+        tc = test_context_w[None] if cfg.use_txt else None
+        ta, tc, rb = jax.device_put((ta, tc, rb))
+        codes, self._phase_d, self._code_d, _ = self._step(
+            S, ta, tc, self._code_d, self._phase_d, rb)
+        return np.asarray(codes)[0]
+
+    def state(self):
+        """(seed_code, seed_phase) currently resident on device."""
+        return self._code_d, self._phase_d

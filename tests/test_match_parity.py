@@ -422,3 +422,68 @@ def test_nonchaining_with_text_rand_interleave():
     res_e = engine.predict(test_audio, test_context,
                            rng=np.random.RandomState(cfg.seed))
     np.testing.assert_array_equal(res_o.codes, res_e.codes)
+
+
+@pytest.mark.parametrize("preset", ["wavvq", "shipped", "no_phase",
+                                    "no_audio", "wavvq_aud_only"])
+def test_reference_ties_mode_matches_reference_oracle(preset):
+    """predict_reference_ties: device phase-1 tables + host reference-tie
+    fusion must equal the oracle running fully on host with
+    tie_kind='reference' (which in turn is verified bit-equal to the actual
+    reference binary in test_reference_cross.py)."""
+    import zlib
+    rng = np.random.RandomState(4048 + zlib.crc32(preset.encode()) % 1000)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    cfg = MATCH_PRESETS[preset]
+    cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 64})
+    db, test_audio, test_context = _stage(cfg, fx)
+
+    oracle = CodeKNNOracle(db, tie_kind="reference")
+    res_o = oracle.predict(test_audio, test_context,
+                           rng=np.random.RandomState(cfg.seed))
+    engine = CodeKNNEngine(cfg, db)
+    res_e = engine.predict_reference_ties(
+        test_audio, test_context, rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
+    if res_o.phases is not None:
+        np.testing.assert_allclose(res_o.phases, res_e.phases, atol=1e-5)
+
+
+@pytest.mark.parametrize("preset", ["wavvq", "shipped", "no_audio"])
+def test_streaming_session_matches_predict(preset):
+    """Window-at-a-time streaming (persistent device seed state) must be
+    bit-identical to whole-clip predict over the same windows."""
+    import zlib
+
+    from qpgesture_tpu.serve import StreamingSession
+    rng = np.random.RandomState(7100 + zlib.crc32(preset.encode()) % 1000)
+    fx = make_fixture(rng, n_seq=4, n_test=4, codebook=64)
+    cfg = MATCH_PRESETS[preset]
+    cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 64})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    want = engine.predict(test_audio, test_context,
+                          rng=np.random.RandomState(cfg.seed))
+
+    sess = StreamingSession(engine, rng=np.random.RandomState(cfg.seed))
+    W = (test_audio if test_audio is not None else test_context).shape[0]
+    got = []
+    for w in range(W):
+        got.append(sess.push_window(
+            test_audio[w] if cfg.use_aud else None,
+            test_context[w] if cfg.use_txt else None))
+    np.testing.assert_array_equal(np.stack(got), want.codes)
+
+
+def test_streaming_rejects_nonchaining():
+    import zlib
+
+    from qpgesture_tpu.serve import StreamingSession
+    rng = np.random.RandomState(7777)
+    fx = make_fixture(rng, n_seq=3, n_test=2, codebook=32)
+    cfg = MATCH_PRESETS["mfcc"]
+    cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 32})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    with pytest.raises(AssertionError):
+        StreamingSession(engine)
