@@ -147,3 +147,27 @@ def test_predict_sharded_nonchaining_multiwindow():
         got = engine.predict_sharded(mesh, ta, tc,
                                      rng=np.random.RandomState(cfg.seed))
         np.testing.assert_array_equal(got.codes, want.codes)
+
+
+def test_predict_batch_sharded_matches_single():
+    """Batched serving over the DB-sharded mesh == single-device batch."""
+    from qpgesture_tpu.match.engine import CodeKNNEngine
+    mesh8 = make_mesh(8)
+    rng = np.random.RandomState(909)
+    fx = make_fixture(rng, n_seq=8, n_test=2, codebook=32)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq"].__dict__,
+                         "codebook_size": 32})
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                        wavvq=fx["wavvq"])
+    ta = stage_test_audio(cfg, db, wavvq=fx["test_wavvq"])
+    tc = stage_test_context(db, fx["test_context"])
+    engine = CodeKNNEngine(cfg, db)
+    C = 3
+    clip_audio = np.stack([ta] * C)
+    clip_ctx = np.stack([tc] * C)
+    want = engine.predict_batch(clip_audio, clip_ctx,
+                                rng=np.random.RandomState(cfg.seed))
+    got = engine.predict_batch_sharded(mesh8, clip_audio, clip_ctx,
+                                       rng=np.random.RandomState(cfg.seed))
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w.codes, g.codes)
