@@ -243,7 +243,8 @@ def _bench_mode(mode, rng, J, W, bundle, codes, signature, decode, model,
         def fn_batch(dev, devdb, ta, tc, rm, rc, rp):
             blocks, _, _ = _predict_impl(
                 cfg, S, dev, devdb, ta, tc, jnp.int32(0),
-                jnp.zeros((8, 16), jnp.float32), None, rm, rc, rp)
+                jnp.zeros((8, 16), jnp.float32), None, rm, rc, rp,
+                clips=C_CLIPS)
             return blocks
 
         bdev_s, _ = devtime.device_seconds_per_iter(

@@ -107,12 +107,17 @@ class DeviceTables:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["sig_dist", "freq_rank", "phase", "amp"],
+         data_fields=["sig_dist", "sig_rank", "freq_rank", "phase", "amp"],
          meta_fields=[])
 @dataclass
 class DeviceDatabase:
     """Static per-database device state."""
     sig_dist: jnp.ndarray              # (512, 512) f32, +inf diagonal
+    # (512, 512) i32: sig_rank[c] = stable rank of sig_dist[c] — the pose
+    # score for prev_code c. Precomputed once per database so the fusion
+    # scan gathers a row instead of sorting 512 floats EVERY step (the
+    # sort was ~40% of per-step scan time).
+    sig_rank: jnp.ndarray
     freq_rank: jnp.ndarray             # (512,) i32 raw frequency ranks
     phase: Optional[jnp.ndarray]       # (J, 240, 8)
     amp: Optional[jnp.ndarray]         # (J, 240, 8)
@@ -295,6 +300,19 @@ def _phase_head_tail(dev: DeviceDatabase, seq, start):
     return head, tail
 
 
+def _smallest_idx(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Index of the (k+1)-th smallest element, ties broken by LOWEST index —
+    identical to jnp.argsort(x)[k] (stable) but via top_k, which avoids a
+    full 512-element sort inside the sequential fusion scan. lax.top_k
+    breaks ties by returning the lower-index element first."""
+    return jax.lax.top_k(-x, k + 1)[1][k]
+
+
+def _smallest2(x: jnp.ndarray) -> jnp.ndarray:
+    """First two indices of jnp.argsort(x) (stable ties), via top_k."""
+    return jax.lax.top_k(-x, 2)[1]
+
+
 def _phase_continuity(prev, head):
     """cos_dist(concat(prev[-5:], head[:3]), concat(prev[-3:], head[:5]))."""
     a = jnp.concatenate((prev[3:], head[:3]), axis=0).reshape(-1)
@@ -363,8 +381,10 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         # integer-scaled exact scoring (see oracle.search_window): every
         # term of pos + freq_weight*freq + rank is a multiple of
         # freq_weight = 1/K, so score with K*pos + freq + K*rank in int32 —
-        # order-exact, no float summation ambiguity
-        pos_rank = rank_jnp(dev.sig_dist[prev_code]).astype(jnp.int32)
+        # order-exact, no float summation ambiguity. pos_rank is a gather
+        # from the precomputed per-prev-code rank table (identical values
+        # to ranking sig_dist[prev_code] here, without the per-step sort).
+        pos_rank = dev.sig_rank[prev_code]
         base = pos_rank * _SCALE + dev.freq_rank if use_freq \
             else pos_rank * _SCALE
 
@@ -374,16 +394,16 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         t_rank = t_rank * _SCALE
         if not use_phase and use_aud and use_txt:
             combined = base + a_rank + t_rank
-            c = jnp.argsort(combined)[cfg.desired_k]
+            c = _smallest_idx(combined, cfg.desired_k)
             block = jnp.where(rbit > 0, a_blk[c], t_blk[c])
         elif not use_phase and use_aud:
-            c = jnp.argsort(base + a_rank)[cfg.desired_k]
+            c = _smallest_idx(base + a_rank, cfg.desired_k)
             block = a_blk[c]
         elif not use_phase and use_txt:
-            c = jnp.argsort(base + t_rank)[cfg.desired_k]
+            c = _smallest_idx(base + t_rank, cfg.desired_k)
             block = t_blk[c]
         elif use_phase and use_aud and not use_txt:
-            order = jnp.argsort(base + a_rank)[:2]
+            order = _smallest2(base + a_rank)
             h0, tl0 = _phase_head_tail(dev, a_seq[order[0]],
                                        a_start[order[0]])
             h1, tl1 = _phase_head_tail(dev, a_seq[order[1]],
@@ -395,7 +415,7 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
             block = a_blk[c]
             out_phase = jnp.where(pick0, tl0, tl1)
         elif use_phase and not use_aud and use_txt:
-            order = jnp.argsort(base + t_rank)[:2]
+            order = _smallest2(base + t_rank)
             h0, tl0 = _phase_head_tail(dev, t_seq[order[0]],
                                        t_start[order[0]])
             h1, tl1 = _phase_head_tail(dev, t_seq[order[1]],
@@ -457,13 +477,58 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
     return blocks, phases, votes
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "clips"))
+def _fuse_scan_clips(cfg: MatchConfig, n_steps: int, clips: int,
+                     dev: DeviceDatabase, tables: DeviceTables,
+                     rand_bits, reset_mask, reset_code, reset_phase):
+    """Batched fusion: C independent clips vmapped over parallel lanes.
+
+    The flat _fuse_scan serializes ALL Q = C*W*S steps into one scan even
+    though clips are independent (their first step resets the seed chain);
+    vmapping the per-clip scan cuts the sequential depth C-fold — the
+    batched-serving device time is scan-dominated, so this is nearly a
+    C-fold speedup. Bit-identical per clip: each lane runs exactly the
+    flat path's computation for that clip (the reset at step 0 overrides
+    the carry, which is the only cross-clip coupling in the flat form)."""
+    Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
+    assert Q % clips == 0
+
+    def resh(x):
+        return None if x is None else \
+            x.reshape((clips, Q // clips) + x.shape[1:])
+
+    tab = DeviceTables(
+        aud_rank=resh(tables.aud_rank), aud_block=resh(tables.aud_block),
+        aud_seq=resh(tables.aud_seq), aud_start=resh(tables.aud_start),
+        txt_rank=resh(tables.txt_rank), txt_block=resh(tables.txt_block),
+        txt_seq=resh(tables.txt_seq), txt_start=resh(tables.txt_start),
+        n_steps=n_steps)
+
+    def one(tab_c, rb_c, rm_c, rc_c, rp_c):
+        return _fuse_scan(cfg, n_steps, dev, tab_c,
+                          jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                          rb_c, rm_c, rc_c, rp_c)
+
+    blocks, phases, votes = jax.vmap(one)(
+        tab, resh(rand_bits), resh(reset_mask), resh(reset_code),
+        resh(reset_phase))
+    return (blocks.reshape((Q,) + blocks.shape[2:]),
+            phases.reshape((Q,) + phases.shape[2:]),
+            votes.reshape((Q,) + votes.shape[2:]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "clips"))
 def _predict_impl(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
                   devdb: DeviceMatchDB, test_audio, test_context,
                   init_code, init_phase, rand_bits,
-                  reset_mask=None, reset_code=None, reset_phase=None):
-    """The whole clip as ONE device program: candidate tables + fused scan."""
+                  reset_mask=None, reset_code=None, reset_phase=None,
+                  clips: int = 1):
+    """The whole clip as ONE device program: candidate tables + fused scan.
+    clips > 1 runs the batched (vmapped per-clip) fusion."""
     tables = _tables_impl(cfg, devdb, test_audio, test_context)
+    if clips > 1:
+        return _fuse_scan_clips(cfg, n_steps, clips, dev, tables, rand_bits,
+                                reset_mask, reset_code, reset_phase)
     return _fuse_scan(cfg, n_steps, dev, tables, init_code, init_phase,
                       rand_bits, reset_mask, reset_code, reset_phase)
 
@@ -483,8 +548,10 @@ class CodeKNNEngine:
         from ..ops.ranking import rank_np
         freq_rank = db.freq_rank if db.freq_rank is not None else \
             rank_np(db.freq_dist).astype(np.float32)
+        sig_dist = jnp.asarray(db.sig_dist)
         self.dev = DeviceDatabase(
-            sig_dist=jnp.asarray(db.sig_dist),
+            sig_dist=sig_dist,
+            sig_rank=jax.jit(jax.vmap(rank_jnp))(sig_dist),
             freq_rank=jnp.asarray(freq_rank).astype(jnp.int32),
             phase=jnp.asarray(db.phase) if db.phase is not None else None,
             amp=jnp.asarray(db.amp) if db.amp is not None else None)
@@ -670,7 +737,7 @@ class CodeKNNEngine:
             cfg, S, self.dev, self.devdb,
             ta if cfg.use_aud else None, tc if cfg.use_txt else None,
             jnp.asarray(np.int32(0)), jnp.zeros((8, 16), jnp.float32),
-            rand_bits, rm, rc, rp)
+            rand_bits, rm, rc, rp, clips=C)
         return self._batch_unpack(blocks, phases, votes, C, W, S)
 
     def _batch_inputs(self, C, W, S, clip_audio, clip_context, init_codes,
@@ -759,11 +826,9 @@ class CodeKNNEngine:
             cfg, self.db, mesh,
             flat_audio if cfg.use_aud else None,
             flat_ctx if cfg.use_txt else None)
-        blocks, phases, votes = _fuse_scan(
-            cfg, S, self.dev, tables,
-            jnp.asarray(np.int32(0)), jnp.zeros((8, 16), jnp.float32),
-            rand_bits, *jax.device_put((reset_mask, reset_code,
-                                        reset_phase)))
+        blocks, phases, votes = _fuse_scan_clips(
+            cfg, S, C, self.dev, tables, rand_bits,
+            *jax.device_put((reset_mask, reset_code, reset_phase)))
         return self._batch_unpack(blocks, phases, votes, C, W, S)
 
     def predict_sharded(self, mesh, test_audio: Optional[np.ndarray],
