@@ -679,6 +679,25 @@ def cmd_assemble_beat(args):
         print(f"audio prepared into {out_dir} (backend: {backend})")
 
 
+def cmd_verify_release(args):
+    """The real-artifact acceptance gate (pipelines/release.py)."""
+    from .pipelines.release import verify_release
+
+    overrides = {
+        "train_db": args.train_db, "test_db": args.test_db,
+        "train_code": args.train_code, "signature": args.signature,
+        "train_wavlm": args.train_wavlm, "test_wavlm": args.test_wavlm,
+        "train_wavvq": args.train_wavvq, "test_wavvq": args.test_wavvq,
+        "checkpoint": args.checkpoint,
+    }
+    card = verify_release(args.root, overrides=overrides,
+                          expected=args.expected, config=args.config,
+                          out=args.out, subsample=args.subsample,
+                          budget_s=args.budget_s, seed=args.seed)
+    if not card["ok"]:
+        raise SystemExit(1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="qpgesture_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -841,6 +860,31 @@ def main(argv=None):
                     help="also produce Audio_normalized/ "
                          "(ffmpeg-normalize equivalent)")
     ab.set_defaults(fn=cmd_assemble_beat)
+
+    vr = sub.add_parser(
+        "verify-release",
+        help="one-command acceptance gate on the reference's published "
+             "artifact tree (README quick start layout)")
+    vr.add_argument("root", help="artifact root containing data/ and "
+                                 "pretrained_model/")
+    vr.add_argument("--expected",
+                    help="result.npz produced by the original reference "
+                         "binary, for byte-exact index parity")
+    vr.add_argument("--config", help="codebook.yml for the VQ-VAE shape "
+                                     "and data mean/std")
+    vr.add_argument("--out", help="write the gate's result.npz here")
+    vr.add_argument("--budget-s", type=float, default=5.0,
+                    help="wall-clock budget for the warm quick-start match")
+    vr.add_argument("--subsample", type=int, default=8,
+                    help="database sequences for the exact-parity harness")
+    vr.add_argument("--seed", type=int,
+                    help="override the match rng seed (the reference pins "
+                         "123456 at import, GestureKNN.py:19-22)")
+    for k in ("train-db", "test-db", "train-code", "signature",
+              "train-wavlm", "test-wavlm", "train-wavvq", "test-wavvq",
+              "checkpoint"):
+        vr.add_argument(f"--{k}", help=f"override the {k} artifact path")
+    vr.set_defaults(fn=cmd_verify_release)
 
     args = p.parse_args(argv)
     args.fn(args)
