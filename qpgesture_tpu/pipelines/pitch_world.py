@@ -303,12 +303,22 @@ def stonemask(x: np.ndarray, f0: np.ndarray, positions: np.ndarray,
 
 def get_pitch_world(wav: np.ndarray, sr: int = 16000, hop: int = 256,
                     log: bool = True, norm: bool = False,
-                    eps: float = 1e-5) -> np.ndarray:
+                    eps: float = 1e-5, prefer_native: bool = True
+                    ) -> np.ndarray:
     """pyworld-semantics pitch track, matching the reference's call
     (speech_feat.get_pitch:25-33): dio(frame_period=hop/sr*1000) +
-    stonemask + optional log / z-norm."""
-    f0, t = dio(wav, sr, frame_period=hop / sr * 1000.0)
-    f0 = stonemask(wav, f0, t, sr)
+    stonemask + optional log / z-norm.
+
+    Uses the native C++ tracker (native/qpg_native.cpp qpg_pitch_world,
+    ~30x the NumPy transcription on long recordings) when the library is
+    built; the two are cross-verified in tests/test_native.py."""
+    f0 = None
+    if prefer_native:
+        from ..utils.native import pitch_world_native
+        f0 = pitch_world_native(wav, sr, frame_period=hop / sr * 1000.0)
+    if f0 is None:
+        f0, t = dio(wav, sr, frame_period=hop / sr * 1000.0)
+        f0 = stonemask(wav, f0, t, sr)
     if log:
         f0 = np.log(np.maximum(eps, f0))
     if norm:

@@ -69,8 +69,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.qpg_store_read.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                    ctypes.c_void_p, ctypes.c_int64]
     lib.qpg_store_close.argtypes = [ctypes.c_void_p]
+    lib.qpg_pitch_world.restype = ctypes.c_long
+    lib.qpg_pitch_world.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_long]
     _lib = lib
     return _lib
+
+
+def pitch_world_native(wav: np.ndarray, fs: int,
+                       frame_period: float,
+                       f0_floor: float = 71.0, f0_ceil: float = 800.0,
+                       channels_in_octave: float = 2.0,
+                       allowed_range: float = 0.1) -> Optional[np.ndarray]:
+    """Native WORLD DIO+StoneMask (qpg_pitch_world); None when the library
+    is unavailable so callers fall back to the NumPy transcription.
+    Cross-verified against pipelines/pitch_world.py in tests/test_native.py
+    (identical voicing masks, <1e-6 relative f0 agreement)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(wav, np.float64)
+    n_frames = int(1000.0 * len(x) / fs / frame_period) + 1
+    out = np.zeros(n_frames, np.float64)
+    got = lib.qpg_pitch_world(
+        x.ctypes.data_as(ctypes.c_void_p), len(x), fs,
+        ctypes.c_double(frame_period), ctypes.c_double(f0_floor),
+        ctypes.c_double(f0_ceil), ctypes.c_double(channels_in_octave),
+        ctypes.c_double(allowed_range),
+        out.ctypes.data_as(ctypes.c_void_p), n_frames)
+    if got < 0:
+        return None
+    return out[:got]
 
 
 def levenshtein_matrix_native(a: np.ndarray, b: np.ndarray) -> np.ndarray:

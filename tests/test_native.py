@@ -125,3 +125,49 @@ def test_record_store_rejects_truncated(tmp_path, rng):
     ok = native._PyStore(path)
     assert len(ok) == 5 and ok[2] == bytes([2]) * 100
     ok.close()
+
+
+def test_pitch_world_native_matches_python():
+    """The C++ DIO+StoneMask must agree with the NumPy transcription on
+    speech-shaped signals: identical voiced/unvoiced masks and <1e-6
+    relative f0 on voiced frames (closing the pyworld-parity caveat with a
+    cross-implementation check; pyworld itself is absent in this image)."""
+    from qpgesture_tpu.pipelines.pitch_world import dio, stonemask
+    from qpgesture_tpu.utils.native import get_lib, pitch_world_native
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    sr, hop = 16000, 256
+    rng = np.random.RandomState(5)
+    t = np.arange(sr * 2) / sr
+    # vib: peak instantaneous-frequency deviation in Hz (at 1.5 Hz rate)
+    for trial, (f0_true, vib) in enumerate([(120.0, 3.0), (220.0, 0.0),
+                                            (95.0, 5.0)]):
+        phase = 2 * np.pi * (f0_true * t + vib / (2 * np.pi * 1.5)
+                             * np.sin(2 * np.pi * 1.5 * t))
+        wav = (0.6 * np.sin(phase) + 0.25 * np.sin(2 * phase)
+               + 0.1 * np.sin(3 * phase))
+        # unvoiced head/tail + noise floor
+        wav[: sr // 4] = 0.005 * rng.randn(sr // 4)
+        wav[-sr // 4:] = 0.005 * rng.randn(sr // 4)
+        wav += 0.002 * rng.randn(len(wav))
+
+        fp = hop / sr * 1000.0
+        f0_py, pos = dio(wav, sr, frame_period=fp)
+        f0_py = stonemask(wav, f0_py, pos, sr)
+        f0_c = pitch_world_native(wav, sr, frame_period=fp)
+        assert f0_c is not None and f0_c.shape == f0_py.shape
+        voiced_py = f0_py > 0
+        voiced_c = f0_c > 0
+        np.testing.assert_array_equal(voiced_py, voiced_c,
+                                      err_msg=f"trial {trial} voicing mask")
+        if voiced_py.any():
+            rel = np.abs(f0_c[voiced_py] - f0_py[voiced_py]) \
+                / f0_py[voiced_py]
+            assert rel.max() < 1e-6, (trial, rel.max())
+        # sanity: the tracker actually locks onto the true pitch
+        mid = voiced_py & (np.arange(len(f0_py)) > len(f0_py) // 3) \
+            & (np.arange(len(f0_py)) < 2 * len(f0_py) // 3)
+        if mid.any():
+            assert abs(np.median(f0_py[mid]) - f0_true) < 0.15 * f0_true
