@@ -14,9 +14,12 @@ indices differing overall, and the per-clip max. Run on CPU or chip:
 
     python examples/tie_divergence_sweep.py [n_fixtures]
 """
+import os
 import sys
 
-sys.path.insert(0, "tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import numpy as np  # noqa: E402
 
