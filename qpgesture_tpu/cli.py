@@ -87,7 +87,14 @@ def cmd_match(args):
             test_context = test_context[:args.max_frames]
 
     engine = CodeKNNEngine(cfg, db)
-    result = engine.predict(test_audio, test_context)
+    if getattr(args, "ties", "stable") == "reference":
+        # byte-parity with the original binary: device phase-1 + host
+        # reference-arithmetic fusion (integer Levenshtein distances tie
+        # heavily in wavvq mode — examples/tie_divergence_sweep.py measures
+        # how often tie order changes the selected indices)
+        result = engine.predict_reference_ties(test_audio, test_context)
+    else:
+        result = engine.predict(test_audio, test_context)
     save_result(args.out, result.codes)
     print(f"wrote {args.out}: knn_pred {result.codes.shape}")
 
@@ -349,7 +356,8 @@ def cmd_generate(args):
     if args.video and npy_path:
         from .render.visualize import render_positions
         pos = np.load(npy_path)
-        out = render_positions(pos, bvh_path.replace(".bvh", ".mp4"))
+        out = render_positions(pos, bvh_path.replace(".bvh", ".mp4"),
+                               codes=result.codes)
         print(f"wrote {out}")
 
 
@@ -717,6 +725,11 @@ def main(argv=None):
                             "no_phase", "no_text", "no_audio"])
     m.add_argument("--desired-k", type=int, default=0)
     m.add_argument("--max-frames", type=int, default=0)
+    m.add_argument("--ties", default="stable",
+                   choices=["stable", "reference"],
+                   help="tie policy: 'stable' (deterministic, all-device) "
+                        "or 'reference' (bit-parity with the original "
+                        "binary's unstable introsort + f64 rank sums)")
     m.set_defaults(fn=cmd_match)
 
     d = sub.add_parser("decode", help="decode result.npz to BVH")

@@ -20,6 +20,10 @@ from .encdec import Conv1dTorch
 class DoubleConv(nn.Module):
     features: int
     norm: str = "batch"  # 'batch' | 'instance'
+    # cross-replica BN statistics (SyncBN): set to the mesh axis name in
+    # data-parallel training so per-shard batch stats psum into full-batch
+    # stats and the DP step equals the single-device step
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -28,6 +32,7 @@ class DoubleConv(nn.Module):
             if self.norm == "batch":
                 x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis=-1,
                                  use_running_average=not train,
+                                 axis_name=self.bn_axis_name,
                                  name=f"norm{i}")(x)
             else:
                 # InstanceNorm1d(affine=True): normalize each (sample,
@@ -57,22 +62,26 @@ def upsample_nearest(x: jnp.ndarray) -> jnp.ndarray:
 class ResyncNet(nn.Module):
     """(B, T, mfcc+joints) -> (B, T, joints) residual-synced motion."""
     out_features: int = C.NUM_JOINTS
+    bn_axis_name: str = None  # see DoubleConv.bn_axis_name
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c1 = DoubleConv(128, name="down1")(x, train)
+        def dc(feats, name):
+            return DoubleConv(feats, bn_axis_name=self.bn_axis_name,
+                              name=name)
+        c1 = dc(128, "down1")(x, train)
         x = avg_pool1d(c1)
-        c2 = DoubleConv(256, name="down2")(x, train)
+        c2 = dc(256, "down2")(x, train)
         x = avg_pool1d(c2)
-        c3 = DoubleConv(256, name="down3")(x, train)
+        c3 = dc(256, "down3")(x, train)
         x = avg_pool1d(c3)
-        x = DoubleConv(512, name="down4")(x, train)
+        x = dc(512, "down4")(x, train)
         x = upsample_nearest(x)
-        x = DoubleConv(256, name="up3")(jnp.concatenate([x, c3], -1), train)
+        x = dc(256, "up3")(jnp.concatenate([x, c3], -1), train)
         x = upsample_nearest(x)
-        x = DoubleConv(256, name="up2")(jnp.concatenate([x, c2], -1), train)
+        x = dc(256, "up2")(jnp.concatenate([x, c2], -1), train)
         x = upsample_nearest(x)
-        x = DoubleConv(256, name="up1")(jnp.concatenate([x, c1], -1), train)
+        x = dc(256, "up1")(jnp.concatenate([x, c1], -1), train)
         return Conv1dTorch(self.out_features, 1, 1, 0, name="last")(x)
 
 
@@ -94,9 +103,14 @@ class Discriminator(nn.Module):
 
 
 def gradient_penalty(disc_apply, variables, real: jnp.ndarray,
-                     fake: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-    """WGAN-GP interpolation penalty (train_resync_gestureknn.py:38-105)."""
-    eps = jax.random.uniform(rng, (real.shape[0], 1, 1))
+                     fake: jnp.ndarray, rng: jax.Array = None,
+                     eps: jnp.ndarray = None) -> jnp.ndarray:
+    """WGAN-GP interpolation penalty (train_resync_gestureknn.py:38-105).
+    eps may be pre-drawn (the data-parallel path draws the full batch's
+    interpolation points before sharding so DP == single-device exactly);
+    otherwise it is drawn from rng, as before."""
+    if eps is None:
+        eps = jax.random.uniform(rng, (real.shape[0], 1, 1))
     interp = eps * real + (1 - eps) * fake
 
     def critic_sum(z):

@@ -23,8 +23,14 @@ UPPER_BODY_LINKS: List[Tuple[int, int]] = [
 
 def render_positions(positions: np.ndarray, out_path: str, fps: int = 60,
                      links: Optional[Sequence[Tuple[int, int]]] = None,
-                     max_frames: Optional[int] = None) -> str:
-    """positions: (T, J, 3) or (T, J*3). Returns the written path."""
+                     max_frames: Optional[int] = None,
+                     codes: Optional[np.ndarray] = None) -> str:
+    """positions: (T, J, 3) or (T, J*3). Returns the written path.
+
+    codes: optional flat codebook-index sequence; when given, the current
+    code index is painted on every frame (frame i shows codes[i // 8], the
+    240-frame/30-code stride — the overlay the reference draws at
+    visualize_bvh.py:82)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -37,6 +43,8 @@ def render_positions(positions: np.ndarray, out_path: str, fps: int = 60,
         [l for l in UPPER_BODY_LINKS if l[1] < pos.shape[1]]
     center = pos.mean(axis=(0, 1))
     scale = max(float(np.abs(pos - center).max()), 1e-3)
+    if codes is not None:
+        codes = np.asarray(codes).reshape(-1)
 
     fig = plt.figure(figsize=(5, 5))
     ax = fig.add_subplot(111, projection="3d")
@@ -45,12 +53,17 @@ def render_positions(positions: np.ndarray, out_path: str, fps: int = 60,
     for dim in "xyz":
         getattr(ax, f"set_{dim}lim3d")(-scale, scale)
     lines = [ax.plot([], [], [], color="tab:red", lw=2)[0] for _ in links]
+    label = ax.text2D(0.05, 0.95, "", transform=ax.transAxes,
+                      fontsize=14) if codes is not None else None
 
     def animate(i):
         p = pos[i] - center
         for ln, (a, b) in zip(lines, links):
             ln.set_data([p[a, 0], p[b, 0]], [p[a, 2], p[b, 2]])
             ln.set_3d_properties([p[a, 1], p[b, 1]])
+        if label is not None and i // 8 < len(codes):
+            label.set_text(str(int(codes[i // 8])))
+            return lines + [label]
         return lines
 
     ani = animation.FuncAnimation(fig, animate, frames=pos.shape[0],

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..core.config import ResyncConfig
@@ -40,10 +41,24 @@ class ResyncTrainState:
 
 class ResyncTrainer:
     def __init__(self, cfg: ResyncConfig, n_mfcc: int, n_joints: int,
-                 num_frames: int):
+                 num_frames: int, mesh=None):
+        """mesh: optional jax.sharding.Mesh for data-parallel steps (grads,
+        losses, and generator BN stats pmean'ed over the 'data' axis — the
+        same collectives as the VQ-VAE/PAE trainers); None keeps the
+        single-device path. The WGAN-GP interpolation eps are drawn for the
+        FULL batch before sharding, so the DP step equals the single-device
+        step (tests/test_trainers_aux.py)."""
         self.cfg = cfg
         self.n_mfcc = n_mfcc
-        self.gen = ResyncNet(out_features=n_joints)
+        self.mesh = mesh
+        bn_axis = None
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS as bn_axis  # noqa: F811
+        # SyncBN: in the mesh path the generator's BatchNorm statistics
+        # psum over the data axis, making DP == single-device exactly
+        self.gen = ResyncNet(out_features=n_joints, bn_axis_name=bn_axis)
+        # same param structure with no axis name, for init outside shard_map
+        self._gen_init = ResyncNet(out_features=n_joints)
         self.disc = Discriminator(num_frames=num_frames)
         # torch Adam(weight_decay=...) adds wd*param to the gradient BEFORE
         # the moment estimates (coupled L2, not AdamW's decoupled decay)
@@ -54,14 +69,28 @@ class ResyncTrainer:
                 optax.scale(-cfg.lr))
         self.g_tx = _tx()
         self.d_tx = _tx()
-        self._d_step = jax.jit(self._build_d_step())
-        self._g_step = jax.jit(self._build_g_step())
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+            self._d_step = jax.jit(shard_map(
+                self._build_d_step(axis=DATA_AXIS), mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P()), check_rep=False))
+            self._g_step = jax.jit(shard_map(
+                self._build_g_step(axis=DATA_AXIS), mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P()), check_rep=False))
+        else:
+            self._d_step = jax.jit(self._build_d_step())
+            self._g_step = jax.jit(self._build_g_step())
 
     def init_state(self, rng: jax.Array, num_frames: int
                    ) -> ResyncTrainState:
         rg, rd = jax.random.split(rng)
         x = jnp.zeros((1, num_frames, self.n_mfcc + self.gen.out_features))
-        gv = self.gen.init(rg, x, train=True)
+        gv = self._gen_init.init(rg, x, train=True)
         dv = self.disc.init(rd, x)
         return ResyncTrainState(
             g_params=gv["params"], g_stats=gv.get("batch_stats", {}),
@@ -78,10 +107,10 @@ class ResyncTrainer:
             return motion, updates["batch_stats"]
         return self.gen.apply(variables, x_knn, train=False), state.g_stats
 
-    def _build_d_step(self):
+    def _build_d_step(self, axis: Optional[str] = None):
         cfg, disc = self.cfg, self.disc
 
-        def step(state: ResyncTrainState, x_knn, x_real, rng):
+        def step(state: ResyncTrainState, x_knn, x_real, eps):
             mfcc = x_knn[:, :, :self.n_mfcc]
             # the reference generates D-step fakes with the generator in
             # train mode (fit():129 model_resync.train(), then
@@ -95,10 +124,15 @@ class ResyncTrainer:
                 dv = {"params": d_params}
                 d_fake = jnp.mean(disc.apply(dv, fake))
                 d_real = jnp.mean(disc.apply(dv, x_real))
-                gp = gradient_penalty(disc.apply, dv, x_real, fake, rng)
+                gp = gradient_penalty(disc.apply, dv, x_real, fake,
+                                      eps=eps)
                 return d_fake - d_real + cfg.lambda_gp * gp
 
             loss, grads = jax.value_and_grad(loss_fn)(state.d_params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                loss = jax.lax.pmean(loss, axis)
+                g_stats = jax.lax.pmean(g_stats, axis)
             updates, d_opt = self.d_tx.update(grads, state.d_opt,
                                               state.d_params)
             d_params = optax.apply_updates(state.d_params, updates)
@@ -109,7 +143,7 @@ class ResyncTrainer:
 
         return step
 
-    def _build_g_step(self):
+    def _build_g_step(self, axis: Optional[str] = None):
         cfg, gen, disc = self.cfg, self.gen, self.disc
 
         def step(state: ResyncTrainState, x_knn, x_real):
@@ -132,6 +166,10 @@ class ResyncTrainer:
 
             (loss, g_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.g_params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                loss = jax.lax.pmean(loss, axis)
+                g_stats = jax.lax.pmean(g_stats, axis)
             updates, g_opt = self.g_tx.update(grads, state.g_opt,
                                               state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
@@ -147,8 +185,12 @@ class ResyncTrainer:
         """One reference-style iteration: D always; G every gen_hop
         (loss_batch:87 `curr_iter % GEN_HOP == 0`; burnin_iters gates only
         best-model selection in the reference's fit loop)."""
+        # the WGAN-GP interpolation points for the whole batch, drawn
+        # BEFORE any sharding: identical values in the single-device and
+        # data-parallel paths (same rng consumption as the old in-step draw)
+        eps = jax.random.uniform(rng, (np.asarray(x_knn).shape[0], 1, 1))
         state, d_loss = self._d_step(state, jnp.asarray(x_knn),
-                                     jnp.asarray(x_real), rng)
+                                     jnp.asarray(x_real), eps)
         logs = {"d_loss": float(d_loss)}
         if it % self.cfg.gen_hop == 0:
             state, g_loss = self._g_step(state, jnp.asarray(x_knn),

@@ -256,3 +256,36 @@ def test_motion_features(rng):
     assert planted[:9].all() and not planted[-5:].any()
     x = rng.randn(5, 3)
     np.testing.assert_array_equal(reverse_time(x), x[::-1])
+
+
+def test_slicer_matches_reference(rng):
+    """slice_windows == the reference's Slicer.transform on raw arrays."""
+    import sys
+    sys.path.insert(0, "/root/reference/process")
+    from qpgesture_tpu.motion.pipeline import slice_windows
+    tracks = [rng.randn(n, 6) for n in (100, 37, 240, 11)]
+    for window, overlap in ((30, 0.5), (24, 0.25), (50, 0.0)):
+        got = slice_windows(tracks, window, overlap)
+        # reference semantics, re-derived (Slicer works on MocapData tracks;
+        # its array arithmetic is exactly this loop, preprocessing.py:674-692)
+        want = []
+        for vals in tracks:
+            of = int(overlap * window)
+            n_seq = (vals.shape[0] - of) // (window - of)
+            for i in range(max(n_seq, 0)):
+                s = (window - of) * i
+                want.append(vals[s:s + window])
+        np.testing.assert_array_equal(got, np.array(want))
+
+
+def test_list_standard_scaler_roundtrip(rng):
+    from qpgesture_tpu.motion.pipeline import ListStandardScaler
+    tracks = [rng.randn(n, 5) * 3 + 1 for n in (50, 80, 20)]
+    sc = ListStandardScaler().fit(tracks)
+    flat = np.concatenate(tracks, axis=0)
+    np.testing.assert_allclose(sc.data_mean_, flat.mean(axis=0))
+    np.testing.assert_allclose(sc.data_std_, flat.std(axis=0))
+    same_len = [rng.randn(40, 5) for _ in range(3)]
+    normed = sc.transform(same_len)
+    back = sc.inverse_transform(normed)
+    np.testing.assert_allclose(back, np.array(same_len), atol=1e-12)

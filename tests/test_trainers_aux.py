@@ -62,3 +62,35 @@ def test_resync_trainer(rng):
                                               jax.random.PRNGKey(it), it)
         assert np.isfinite(logs["d_loss"])
     assert "g_loss" in logs and np.isfinite(logs["g_loss"])
+
+
+def test_resync_trainer_mesh_equals_single(rng):
+    """Data-parallel ResyncNet steps over the 8-device mesh == the
+    single-device steps (grads/losses/BN-stats pmean'ed; the GP
+    interpolation points are drawn pre-shard so the math is identical)."""
+    from qpgesture_tpu.parallel.mesh import make_mesh
+    cfg = ResyncConfig(lr=1e-4, burnin_iters=2, gen_hop=1, lambda_gp=10)
+    single = ResyncTrainer(cfg, n_mfcc=5, n_joints=9, num_frames=32)
+    sharded = ResyncTrainer(cfg, n_mfcc=5, n_joints=9, num_frames=32,
+                            mesh=make_mesh(8))
+    s1 = single.init_state(jax.random.PRNGKey(0), num_frames=32)
+    s2 = sharded.init_state(jax.random.PRNGKey(0), num_frames=32)
+    x_knn = rng.randn(8, 32, 14).astype(np.float32)
+    x_real = rng.randn(8, 32, 14).astype(np.float32)
+    for it in range(3):
+        s1, l1 = single.train_iteration(s1, x_knn, x_real,
+                                        jax.random.PRNGKey(it), it)
+        s2, l2 = sharded.train_iteration(s2, x_knn, x_real,
+                                         jax.random.PRNGKey(it), it)
+        # BN-free trainers (VQ-VAE) match DP-vs-single tightly; here the
+        # gradient penalty differentiates through SyncBN, amplifying fp
+        # summation-order differences — float-level tolerance is expected
+        assert abs(l1["d_loss"] - l2["d_loss"]) < 5e-3
+        if "g_loss" in l1:
+            assert abs(l1["g_loss"] - l2["g_loss"]) < 5e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
