@@ -312,6 +312,30 @@ def _bench_train(rng, peak):
             u = devtime.mfu(flops, dev_s, peak)
             if u is not None:
                 out["mfu_bf16_peak"] = round(u, 4)
+
+    # default-precision (1-pass bf16 MXU) variant: the opt-in fast path via
+    # VQVAEConfig(conv_precision='default'); the f32 default above runs
+    # HIGHEST for checkpoint parity (effective ceiling ~ peak/6)
+    trainer_b = VQVAETrainer(VQVAEConfig(conv_precision="default"), cfg)
+    state_b = trainer_b.init_state(jax.random.PRNGKey(0))
+    state_b = trainer_b.init_codebook(state_b, batch[:16],
+                                      jax.random.PRNGKey(1))
+
+    def step_b(st, batch, k):
+        st2, loss, _ = trainer_b._train_step(st, batch, k)
+        return st2, loss
+
+    dev_b, _ = devtime.chained_seconds_per_iter(
+        step_b, state_b, (batch,),
+        per_iter_args=lambda i: jax.random.PRNGKey(i),
+        k_small=1, k_large=4, reps=5)
+    if dev_b > 0:
+        out["bf16_variant"] = {
+            "device_ms_per_step": round(dev_b * 1e3, 2),
+            "windows_per_device_s": round(cfg.batch_size / dev_b, 1)}
+        if flops:
+            out["bf16_variant"]["mfu_bf16_peak"] = round(
+                devtime.mfu(flops, dev_b, peak) or 0, 4)
     return out
 
 
