@@ -289,3 +289,48 @@ def test_list_standard_scaler_roundtrip(rng):
     normed = sc.transform(same_len)
     back = sc.inverse_transform(normed)
     np.testing.assert_allclose(back, np.array(same_len), atol=1e-12)
+
+
+def test_peak_indexes_matches_peakutils_or_properties(rng):
+    """peak_indexes == peakutils.indexes when the package exists; always:
+    correct peaks on a sinusoid with plateaus and min_dist suppression."""
+    from qpgesture_tpu.motion.features import peak_indexes
+    t = np.linspace(0, 6 * np.pi, 600)
+    y = np.sin(t) + 0.01 * rng.randn(600)
+    # thres is RANGE-normalized (0.8 -> absolute ~0.6 here)
+    got = peak_indexes(y, thres=0.8, min_dist=80)
+    # three sine peaks, ~200 frames apart
+    assert len(got) == 3
+    assert all(y[i] > 0.8 for i in got)
+    assert np.all(np.diff(got) > 80)
+
+    # plateau handling: a flat-topped peak still yields one index
+    z = np.zeros(100)
+    z[40:46] = 1.0
+    got_z = peak_indexes(z, thres=0.5, min_dist=10)
+    assert len(got_z) == 1 and 39 <= got_z[0] <= 46
+
+    try:
+        import peakutils
+    except ImportError:
+        return
+    for seed in range(5):
+        r = np.random.RandomState(seed)
+        y = np.cumsum(r.randn(500))
+        for thres, md in ((0.3, 20), (0.1, 60)):
+            want = peakutils.indexes(y, thres=thres, min_dist=md)
+            gotp = peak_indexes(y, thres=thres, min_dist=md)
+            np.testing.assert_array_equal(gotp, want)
+
+
+def test_foot_contact_signal_steps(rng):
+    from qpgesture_tpu.motion.features import foot_contact_signal
+    t = np.linspace(0, 4 * np.pi, 480)
+    height = 1.5 + np.sin(t)  # strictly positive (the reference divides
+    #                           thresholds by max/min of the raw signal)
+    sig = foot_contact_signal(height, start=1, min_dist=60)
+    # alternating plant/lift: starts at 1, drops at valleys, rises at peaks
+    assert sig[0] == 1
+    assert set(np.unique(sig)) <= {0, 1}
+    flips = np.count_nonzero(np.diff(sig))
+    assert 2 <= flips <= 5
