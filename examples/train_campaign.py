@@ -53,6 +53,52 @@ def make_corpus(rng, n_clips, frames, dim=135, components=6):
     return clips
 
 
+def post_eval(args):
+    """Reconstruction self-eval trend over the run's periodic checkpoints,
+    on the CPU backend (no relay involvement)."""
+    import jax
+
+    from qpgesture_tpu.core.config import TrainConfig, VQVAEConfig
+    from qpgesture_tpu.render.metrics import fgd, hellinger_velocity
+    from qpgesture_tpu.train.checkpoints import restore_checkpoint
+    from qpgesture_tpu.train.data import dataset_stats
+    from qpgesture_tpu.train.train_vqvae import VQVAETrainer
+
+    rng = np.random.RandomState(20260817)
+    clips = make_corpus(rng, args.clips, args.clip_frames)
+    mean, std = dataset_stats(clips)
+    held = make_corpus(np.random.RandomState(7), 16, 4096)
+    stdc = np.clip(std, 0.01, None)
+    val_wins = []
+    for c in held:
+        p = (c["poses"] - mean) / stdc
+        for s in range(0, len(p) - 240, 240):
+            val_wins.append(p[s:s + 240])
+    val_wins = np.stack(val_wins).astype(np.float32)[:64]
+
+    trainer = VQVAETrainer(VQVAEConfig(), TrainConfig())
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda p, c, x: trainer.model.forward(
+        p, c, x, train=False)[0])
+    rows = []
+    names = sorted(d for d in os.listdir(args.out)
+                   if d.isdigit() or d == "best")
+    for name in names:
+        state = restore_checkpoint(args.out, template, name=name)
+        recon = np.asarray(fwd(state.params, state.codebook, val_wins))
+        rows.append({
+            "checkpoint": name, "step": int(state.step),
+            "hellinger": round(float(hellinger_velocity(
+                recon.reshape(-1, 135), val_wins.reshape(-1, 135))), 4),
+            "fgd": round(float(fgd(recon, val_wins)), 3)})
+        print(json.dumps(rows[-1]), flush=True)
+    path = os.path.join(args.out, "self_eval.json")
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {path}")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -63,7 +109,12 @@ def main():
     ap.add_argument("--clips", type=int, default=120)
     ap.add_argument("--clip-frames", type=int, default=7200)
     ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--post-eval", action="store_true",
+                    help="CPU pass: Hellinger/FGD trend over the periodic "
+                         "checkpoints saved by a finished run")
     args = ap.parse_args()
+    if args.post_eval:
+        return post_eval(args)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -79,10 +130,16 @@ def main():
     from qpgesture_tpu.utils.metrics_log import ScalarHistory
 
     os.makedirs(args.out, exist_ok=True)
+
+    def phase_log(msg):
+        print(f"[campaign] {msg}", file=sys.stderr, flush=True)
+
     rng = np.random.RandomState(20260817)
+    phase_log("generating corpus...")
     clips = make_corpus(rng, args.clips, args.clip_frames)
     mean, std = dataset_stats(clips)
     train_cfg = TrainConfig(epochs=args.epochs)
+    phase_log("uploading clip store...")
     store = DeviceClipStore(clips, train_cfg.n_poses, stride=32,
                             data_mean=mean, data_std=std)
     steps_per_epoch = len(store) // train_cfg.batch_size
@@ -99,11 +156,15 @@ def main():
     val_batches = [val_wins[i:i + 256] for i in range(0, len(val_wins), 256)
                    if len(val_wins[i:i + 256])]
 
+    phase_log(f"{len(store)} windows, {steps_per_epoch} steps/epoch; "
+              "building trainer...")
     trainer = VQVAETrainer(VQVAEConfig(), train_cfg,
                            steps_per_epoch=steps_per_epoch)
     state = trainer.init_state(jax.random.PRNGKey(0))
+    phase_log("init codebook...")
     first = next(iter(store.batches(train_cfg.batch_size, seed=0)))
     state = trainer.init_codebook(state, first[:16], jax.random.PRNGKey(1))
+    phase_log("compiling first train step...")
 
     start_epoch = 1
     best = (float("inf"), 0)
@@ -162,18 +223,11 @@ def main():
                "epoch_s": round(dt, 1)}
 
         if args.eval_every and epoch % args.eval_every == 0:
-            # reconstruction self-eval on held-out windows
-            recon, _, _, _ = jax.jit(
-                lambda p, c, x: trainer.model.forward(p, c, x, train=False)
-            )(state.params, state.codebook, val_wins[:256])
-            recon = np.asarray(recon)
-            row["hellinger"] = round(
-                float(hellinger_velocity(
-                    recon.reshape(-1, 135), val_wins[:256].reshape(-1, 135))),
-                4)
-            row["fgd"] = round(float(fgd(recon, val_wins[:256])), 3)
-            hist.log(epoch=epoch, hellinger=row["hellinger"],
-                     fgd=row["fgd"])
+            # periodic checkpoint: the Hellinger/FGD self-eval trend is
+            # computed from these AFTER the run by --post-eval on the CPU
+            # backend (the chip loop reuses only already-compiled programs;
+            # fresh compiles through the relay can wedge for many minutes)
+            save_checkpoint(args.out, state, name=f"{epoch:03d}")
         report["epochs_run"].append(row)
         print(json.dumps(row), flush=True)
 

@@ -48,13 +48,31 @@ def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
 
 def frechet_distance(feat_a: np.ndarray, feat_b: np.ndarray) -> float:
     """Frechet distance between Gaussians fit to two feature sets
-    (N_a, D), (N_b, D): |mu_a-mu_b|^2 + Tr(Ca + Cb - 2 (Ca Cb)^1/2)."""
+    (N_a, D), (N_b, D): |mu_a-mu_b|^2 + Tr(Ca + Cb - 2 (Ca Cb)^1/2).
+
+    When D exceeds the sample count (raw-space FGD on flattened motion
+    windows: D = T*C can be tens of thousands), the D x D covariances are
+    never formed.  The covariances have rank < N, and the nonzero
+    eigenvalues of Ca Cb = A^T A B^T B equal those of (A B^T)(B A^T), so
+    Tr((Ca Cb)^1/2) is the nuclear norm of the small N_a x N_b cross-Gram
+    A B^T -- exact, O(N^2 D) instead of O(D^3)."""
+    feat_a = np.asarray(feat_a, dtype=np.float64)
+    feat_b = np.asarray(feat_b, dtype=np.float64)
     mu_a, mu_b = feat_a.mean(0), feat_b.mean(0)
+    na, nb = feat_a.shape[0], feat_b.shape[0]
+    d = feat_a.shape[1]
+    mean_term = float(((mu_a - mu_b) ** 2).sum())
+    if d > na + nb:
+        a = (feat_a - mu_a) / np.sqrt(max(na - 1, 1))
+        b = (feat_b - mu_b) / np.sqrt(max(nb - 1, 1))
+        tr_cross = float(np.linalg.svd(a @ b.T, compute_uv=False).sum())
+        return mean_term + float((a * a).sum() + (b * b).sum()) \
+            - 2.0 * tr_cross
     ca = np.cov(feat_a, rowvar=False)
     cb = np.cov(feat_b, rowvar=False)
     sa = _sqrtm_psd(ca)
     covmean = _sqrtm_psd(sa @ cb @ sa)
-    return float(((mu_a - mu_b) ** 2).sum()
+    return float(mean_term
                  + np.trace(ca) + np.trace(cb) - 2.0 * np.trace(covmean))
 
 

@@ -92,6 +92,26 @@ def test_frechet_distance(rng):
     assert fgd(wins_a, wins_b) > fgd(wins_a, wins_a)
 
 
+def test_frechet_gram_path_matches_dense(rng):
+    """High-dim (D > N) path: the N x N cross-Gram nuclear-norm formula
+    must agree with the dense D x D covariance computation."""
+    a = rng.randn(12, 40)
+    b = rng.randn(9, 40) * 1.3 + 0.5
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False)
+    cb = np.cov(b, rowvar=False)
+    from qpgesture_tpu.render.metrics import _sqrtm_psd
+    sa = _sqrtm_psd(ca)
+    dense = (((mu_a - mu_b) ** 2).sum() + np.trace(ca) + np.trace(cb)
+             - 2.0 * np.trace(_sqrtm_psd(sa @ cb @ sa)))
+    assert frechet_distance(a, b) == pytest.approx(float(dense), rel=1e-6)
+    # raw-space FGD on campaign-scale windows finishes instantly now
+    wins = rng.randn(32, 240, 135).astype(np.float32)
+    wins2 = wins + 0.1 * rng.randn(*wins.shape).astype(np.float32)
+    assert fgd(wins, wins2) >= 0.0
+    assert fgd(wins, wins.copy()) == pytest.approx(0.0, abs=1e-5)
+
+
 def test_prosody_features(rng):
     sr = 16000
     t = np.arange(sr)
