@@ -280,12 +280,12 @@ def _bench_train(rng, peak):
     key = jax.random.PRNGKey(2)
     batch = jax.device_put(batch)
     state, loss, _ = trainer.train_step(state, batch, key)  # compile
-    jax.block_until_ready(loss)
-    times = []
+    np.asarray(loss)  # fetch: block_until_ready can no-op on deferred
+    times = []       # small-output dispatches over the relay
     for _ in range(RUNS):
         t0 = time.perf_counter()
         state, loss, _ = trainer.train_step(state, batch, key)
-        jax.block_until_ready(loss)
+        np.asarray(loss)
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
 

@@ -57,12 +57,23 @@ def peak_flops_per_s(device=None) -> Tuple[str, float]:
     return kind, 0.0
 
 
-def _median_time(call: Callable[[], object], reps: int) -> float:
+def _force(out):
+    """Force completion of a dispatch by FETCHING (not merely blocking on)
+    its first leaf. On relay-attached hosts ``block_until_ready`` can
+    resolve without any device round trip for small-output dispatches
+    (the client defers them until a fetch), which silently turns every
+    wall-clock measurement into ~0. A host fetch is unambiguous. Callers
+    keep the fetched payload tiny (the loops below return scalars)."""
     import jax
+
+    return np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
+def _median_time(call: Callable[[], object], reps: int) -> float:
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(call())
+        _force(call())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -75,7 +86,7 @@ def measure_link_s(reps: int = 15) -> float:
 
     x = jax.device_put(jnp.zeros((), jnp.float32))
     f = jax.jit(lambda a: a + 1.0)
-    jax.block_until_ready(f(x))  # compile
+    _force(f(x))  # compile
     return _median_time(lambda: f(x), reps)
 
 
@@ -101,7 +112,12 @@ def _make_loop(fn: Callable, n_iters: int):
     def loop(args):
         def body(carry, _):
             a, _tok = lax.optimization_barrier((args, carry))
-            out = fn(*a)
+            # Barrier the FULL output before folding one element out of it:
+            # without this, XLA's slice-through-dot/broadcast rewrites
+            # shrink wide producers to the single folded element and the
+            # loop no longer measures fn at all (observed: a (48, 28K)
+            # HIGHEST matmul timed as 0 ms/iter).
+            out = lax.optimization_barrier(fn(*a))
             return _fold_token(out, carry), ()
 
         carry, _ = lax.scan(body, jnp.zeros((), jnp.int32), None,
@@ -130,7 +146,7 @@ def device_seconds_per_iter(fn: Callable, args: Sequence,
     cs = loop_s.lower(args).compile()
     cl = loop_l.lower(args).compile()
     compile_s = time.perf_counter() - t0
-    jax.block_until_ready((cs(args), cl(args)))  # warmup
+    _force(cs(args)), _force(cl(args))  # warmup
     t_s = _median_time(lambda: cs(args), reps)
     t_l = _median_time(lambda: cl(args), reps)
     per_iter = (t_l - t_s) / (k_large - k_small)
@@ -151,6 +167,7 @@ def chained_seconds_per_iter(step: Callable, carry0, extras: Sequence,
     per_iter_args(i) supplies the i-th per-iteration input (e.g. rng keys);
     stacked over the scan. Returns (seconds_per_iter, compile_seconds)."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     carry0, extras = jax.device_put((carry0, tuple(extras)))
@@ -172,7 +189,10 @@ def chained_seconds_per_iter(step: Callable, carry0, extras: Sequence,
                 return out[0], ()
 
             c, _ = lax.scan(body, carry, xs, length=n)
-            return jax.tree_util.tree_leaves(c)[0]
+            # scalar return keeps _force's host fetch to 4 bytes (the
+            # carry chain itself serializes iterations, so slicing the
+            # final state cannot dead-code any iteration)
+            return jnp.ravel(jax.tree_util.tree_leaves(c)[0])[0]
 
         return loop, xs
 
@@ -182,8 +202,8 @@ def chained_seconds_per_iter(step: Callable, carry0, extras: Sequence,
     cs = loop_s.lower(carry0, extras, xs_s).compile()
     cl = loop_l.lower(carry0, extras, xs_l).compile()
     compile_s = time.perf_counter() - t0
-    jax.block_until_ready((cs(carry0, extras, xs_s),
-                           cl(carry0, extras, xs_l)))
+    _force(cs(carry0, extras, xs_s))
+    _force(cl(carry0, extras, xs_l))
     t_s = _median_time(lambda: cs(carry0, extras, xs_s), reps)
     t_l = _median_time(lambda: cl(carry0, extras, xs_l), reps)
     per_iter = (t_l - t_s) / (k_large - k_small)
