@@ -208,6 +208,26 @@ def _bench_mode(mode, rng, J, W, bundle, codes, signature, decode, model,
             devd["mfu_bf16_peak"] = round(u, 4)
     out["device"] = devd
 
+    if mode == "wavlm":
+        # opt-in cosine_precision variants of the candidate-table matmul
+        # (MatchConfig.cosine_precision): the tables are memory-bound, so
+        # 'high' (3-pass) buys little; 'default' (1-pass bf16) is the fast
+        # serving point (parity evidence: chip_parity_sweep
+        # --cosine-precision default).
+        import dataclasses
+        for prec in ("high", "default"):
+            cfg_v = dataclasses.replace(cfg, cosine_precision=prec)
+
+            def fn_tables_v(devdb, ta, tc, cfg_v=cfg_v):
+                t = _tables_impl(cfg_v, devdb, ta, tc)
+                return (t.aud_rank, t.txt_rank)
+
+            tab_v, _ = devtime.device_seconds_per_iter(
+                fn_tables_v, (engine.devdb, ta, tc), k_small=2, k_large=8,
+                reps=5)
+            if tab_v > 0:
+                devd[f"tables_ms_{prec}"] = round(tab_v * 1e3, 3)
+
     if mode == "wavvq":
         # batched serving: 16 independent 24 s clips in ONE device program
         # (seed chains reset at clip boundaries) — the throughput number

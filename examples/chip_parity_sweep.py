@@ -8,6 +8,11 @@ backend JAX picks (the real chip under axon), comparing the device engine's
 selected codebook indices against the NumPy oracle bit-for-bit.
 
 Usage:  python examples/chip_parity_sweep.py [n_fixtures_per_preset]
+            [--cosine-precision=highest|high|default]
+
+--cosine-precision overrides the audio-distance MXU precision for every
+cosine preset (MatchConfig.cosine_precision): the parity evidence for the
+opt-in 3-pass 'high' fast path is this sweep staying clean with it.
 """
 import os
 import sys
@@ -78,9 +83,10 @@ def run_long_clip() -> int:
     return 0 if same else 1
 
 
-def run(n_fixtures: int = 3) -> int:
+def run(n_fixtures: int = 3, cosine_precision: str = "highest") -> int:
     print(f"backend: {jax.default_backend()} "
-          f"({len(jax.devices())} device(s))")
+          f"({len(jax.devices())} device(s)), "
+          f"cosine_precision={cosine_precision}")
     mismatches = 0
     for preset in PRESETS:
         for i in range(n_fixtures):
@@ -88,7 +94,8 @@ def run(n_fixtures: int = 3) -> int:
             rng = np.random.RandomState(seed)
             fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
             cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
-                                 "codebook_size": 64})
+                                 "codebook_size": 64,
+                                 "cosine_precision": cosine_precision})
             db = stage_database(cfg, fx["bundle"], fx["codes"],
                                 fx["signature"], wavlm=fx["wavlm"],
                                 wavvq=fx["wavvq"])
@@ -116,5 +123,12 @@ def run(n_fixtures: int = 3) -> int:
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    sys.exit(1 if run(n) else 0)
+    prec = "highest"
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--cosine-precision="):
+            prec = a.split("=", 1)[1]
+        else:
+            args.append(a)
+    n = int(args[0]) if args else 3
+    sys.exit(1 if run(n, cosine_precision=prec) else 0)

@@ -142,6 +142,18 @@ class MatchConfig:
     # dispatches call search_code_knn without seeds, so each window draws a
     # fresh random init (GestureKNN.py:797,804,806).
     chain_windows: bool = True
+    # MXU precision of the AUDIO-feature cosine distance matmul (the
+    # dominant device cost of the wavlm_feat/shipped mode; the text side
+    # always runs HIGHEST — it is a 384-d matmul, too cheap to matter).
+    #   'highest' — 6-pass f32 emulation, the bit-parity reference point;
+    #   'high'    — 3-pass bf16x3 (~f32-accurate: input-split residual
+    #               ~2^-18 vs HIGHEST's ~2^-24; rank flips need near-exact
+    #               distance ties), ~2x faster candidate tables;
+    #   'default' — 1-pass bf16 multiplies (~1e-3 distance perturbation —
+    #               flips ranks between near-equal blocks; speed probe only).
+    # Parity of 'high' vs the f32 oracle is verified empirically on-chip
+    # (examples/chip_parity_sweep.py --cosine-precision high).
+    cosine_precision: str = "highest"
 
 
 @dataclass(frozen=True)

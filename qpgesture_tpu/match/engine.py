@@ -42,17 +42,29 @@ def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return x / jnp.where(n > 0, n, 1.0)
 
 
-def cosine_distance_matrix(q: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def matmul_precision(name: str) -> jax.lax.Precision:
+    """Map a MatchConfig precision string to the lax enum."""
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[name]
+
+
+def cosine_distance_matrix(q: jnp.ndarray, d: jnp.ndarray,
+                           precision: jax.lax.Precision =
+                           jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(Q, D) x (N, D) -> (Q, N) cosine distances via one MXU matmul.
 
-    precision=HIGHEST: the MXU's default bf16 multiplies perturb distances
-    by ~1e-3, enough to flip candidate ranks between near-equal database
-    blocks and silently diverge from the f32 oracle on real TPUs (the same
-    reason the VQ projections run f32, models/vq_wav2vec.py)."""
-    return cosine_distance_prenorm(q, _l2_normalize(d))
+    precision defaults to HIGHEST: the MXU's 1-pass bf16 multiplies perturb
+    distances by ~1e-3, enough to flip candidate ranks between near-equal
+    database blocks and silently diverge from the f32 oracle on real TPUs
+    (the same reason the VQ projections run f32, models/vq_wav2vec.py).
+    The audio side can opt into 3-pass HIGH via cfg.cosine_precision."""
+    return cosine_distance_prenorm(q, _l2_normalize(d), precision)
 
 
-def cosine_distance_prenorm(q: jnp.ndarray, dn: jnp.ndarray) -> jnp.ndarray:
+def cosine_distance_prenorm(q: jnp.ndarray, dn: jnp.ndarray,
+                            precision: jax.lax.Precision =
+                            jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """cosine_distance_matrix with the database side ALREADY row-normalized.
 
     The database tensor is invariant across predict calls, so DeviceMatchDB
@@ -61,7 +73,7 @@ def cosine_distance_prenorm(q: jnp.ndarray, dn: jnp.ndarray) -> jnp.ndarray:
     the largest resident tensor (~0.7 GB in wavlm_feat mode)."""
     qn = _l2_normalize(q)
     sim = jnp.dot(qn, dn.T, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=precision)
     return 1.0 - sim
 
 
@@ -216,7 +228,9 @@ def string_distance_matrix(q: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         q, feat.reshape(-1, feat.shape[-1])).astype(jnp.float32)
 
 
-def _minargs_one_side(cfg: MatchConfig, q, feat, codes, is_strings: bool):
+def _minargs_one_side(cfg: MatchConfig, q, feat, codes, is_strings: bool,
+                      precision: jax.lax.Precision =
+                      jax.lax.Precision.HIGHEST):
     """Distance matrix + per-code segment-min for one (audio|text) side.
     Returns (mins (Q, 512), args (Q, 512) flat argmin, matched (Q, 512))."""
     J, B = codes.shape
@@ -224,15 +238,19 @@ def _minargs_one_side(cfg: MatchConfig, q, feat, codes, is_strings: bool):
         dist = string_distance_matrix(q, feat)
     else:
         # feat arrives pre-normalized from device_match_db
-        dist = cosine_distance_prenorm(q, feat.reshape(J * B, feat.shape[-1]))
+        dist = cosine_distance_prenorm(q, feat.reshape(J * B, feat.shape[-1]),
+                                       precision)
     seg = codes.reshape(-1)
     return segment_min_argmin(dist, seg, cfg.codebook_size,
                               cfg.unmatched_dist)
 
 
 def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
-                     is_strings: bool):
-    mins, args, matched = _minargs_one_side(cfg, q, feat, codes, is_strings)
+                     is_strings: bool,
+                     precision: jax.lax.Precision =
+                     jax.lax.Precision.HIGHEST):
+    mins, args, matched = _minargs_one_side(cfg, q, feat, codes, is_strings,
+                                            precision)
     return tables_from_minargs(cfg, mins, args, matched, blocks, starts)
 
 
@@ -247,7 +265,8 @@ def _tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
         q = test_audio.reshape(W * S, *test_audio.shape[2:])
         aud = _tables_one_side(cfg, q, devdb.aud_feat, devdb.aud_codes,
                                devdb.aud_blocks, devdb.aud_starts,
-                               cfg.audio_mode == "wavvq_feat")
+                               cfg.audio_mode == "wavvq_feat",
+                               matmul_precision(cfg.cosine_precision))
     if cfg.use_txt:
         W, S = test_context.shape[:2]
         n_steps = S
@@ -270,7 +289,8 @@ def _raw_tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
         W, S = test_audio.shape[:2]
         q = test_audio.reshape(W * S, *test_audio.shape[2:])
         aud = _minargs_one_side(cfg, q, devdb.aud_feat, devdb.aud_codes,
-                                cfg.audio_mode == "wavvq_feat")
+                                cfg.audio_mode == "wavvq_feat",
+                                matmul_precision(cfg.cosine_precision))
     if cfg.use_txt:
         W, S = test_context.shape[:2]
         q = test_context.reshape(W * S, -1)

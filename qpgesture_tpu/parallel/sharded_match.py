@@ -23,15 +23,16 @@ from jax.experimental.shard_map import shard_map
 from ..core.config import MatchConfig
 from ..match.database import MatchDatabase
 from ..match.engine import (DeviceTables, _phase_starts,
-                            cosine_distance_matrix, segment_min_argmin,
-                            string_distance_matrix, tables_from_minargs)
+                            cosine_distance_matrix, matmul_precision,
+                            segment_min_argmin, string_distance_matrix,
+                            tables_from_minargs)
 from .mesh import DATA_AXIS, pad_to_multiple
 
 _BIG = np.int32(2 ** 30)
 
 
 def _shard_reduce(cfg: MatchConfig, q, db_feat, db_codes, valid, axis: str,
-                  is_strings: bool, B: int):
+                  is_strings: bool, B: int, precision: str = "highest"):
     """Runs per device inside shard_map: local distances + segment reduction,
     then cross-device min with scan-order ties. String distances go through
     the engine's shared dispatch (wavvq 'sum' layout + the Pallas kernel on
@@ -41,7 +42,8 @@ def _shard_reduce(cfg: MatchConfig, q, db_feat, db_codes, valid, axis: str,
         dist = string_distance_matrix(q, db_feat)
     else:
         dist = cosine_distance_matrix(
-            q, db_feat.reshape(Js * B, db_feat.shape[-1]))
+            q, db_feat.reshape(Js * B, db_feat.shape[-1]),
+            matmul_precision(precision))
     dist = jnp.where(valid.reshape(1, Js * B), dist, jnp.inf)
     seg = db_codes.reshape(-1)
     mins, args, matched = segment_min_argmin(
@@ -66,13 +68,13 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def _sharded_reduce_fn(cfg: MatchConfig, mesh: Mesh, is_strings: bool,
-                       B: int):
+                       B: int, precision: str):
     """Jitted shard_map, cached per (cfg, mesh, mode, B): rebuilding the
     jit object per call would re-trace (and through a relay, re-lower)
     every predict_sharded instead of hitting the compile cache."""
     fn = shard_map(
         partial(_shard_reduce, cfg, axis=DATA_AXIS, is_strings=is_strings,
-                B=B),
+                B=B, precision=precision),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P(), P()),
@@ -82,7 +84,8 @@ def _sharded_reduce_fn(cfg: MatchConfig, mesh: Mesh, is_strings: bool,
 
 def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
                              queries: np.ndarray, feat: np.ndarray,
-                             codes: np.ndarray, is_strings: bool):
+                             codes: np.ndarray, is_strings: bool,
+                             precision: str = "highest"):
     """queries: (Q, D) or (Q, L)/(Q, G, L) int strings; feat: (J, B, ...);
     codes: (J, B). Returns (mins (Q, K), args (Q, K) global flat index,
     matched) with the J axis sharded across the mesh."""
@@ -95,7 +98,7 @@ def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
 
     q = jax.device_put(jnp.asarray(queries),
                        NamedSharding(mesh, P()))
-    fn = _sharded_reduce_fn(cfg, mesh, is_strings, B)
+    fn = _sharded_reduce_fn(cfg, mesh, is_strings, B, precision)
     mins, args, matched = fn(q, jnp.asarray(feat_p),
                              jnp.asarray(codes_p),
                              jnp.asarray(valid))
@@ -118,7 +121,8 @@ def build_sharded_tables(cfg: MatchConfig, db: MatchDatabase, mesh: Mesh,
         else:
             feat, is_str = db.aud_feat, False
         mins, args, matched = sharded_candidate_reduce(
-            cfg, mesh, q, feat, db.aud_codes, is_str)
+            cfg, mesh, q, feat, db.aud_codes, is_str,
+            cfg.cosine_precision)
         aud = tables_from_minargs(cfg, mins, args, matched,
                                   jnp.asarray(db.aud_blocks),
                                   jnp.asarray(_phase_starts(db.aud_frames)))

@@ -487,3 +487,25 @@ def test_streaming_rejects_nonchaining():
     engine = CodeKNNEngine(cfg, db)
     with pytest.raises(AssertionError):
         StreamingSession(engine)
+
+
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_cosine_precision_variants_match_oracle(precision):
+    """The opt-in cosine_precision fast paths (MatchConfig.cosine_precision)
+    must plumb through the engine and, on this backend, still select the
+    oracle's indices. On the CPU mesh all precisions compute the same f32
+    dot, so this pins the plumbing (config hashability, jit staticness);
+    the on-chip numeric evidence is examples/chip_parity_sweep.py
+    --cosine-precision=<p>."""
+    import dataclasses
+    import zlib
+    rng = np.random.RandomState(77 + zlib.crc32(precision.encode()) % 100)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    cfg = dataclasses.replace(MATCH_PRESETS["shipped"], codebook_size=64,
+                              cosine_precision=precision)
+    db, test_audio, test_context = _stage(cfg, fx)
+    res_o = CodeKNNOracle(db).predict(test_audio, test_context,
+                                      rng=np.random.RandomState(cfg.seed))
+    res_e = CodeKNNEngine(cfg, db).predict(
+        test_audio, test_context, rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(res_o.codes, res_e.codes)
