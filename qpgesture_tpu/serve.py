@@ -98,6 +98,113 @@ class ServingPipeline:
         return np.asarray(codes), np.asarray(poses)
 
 
+@dataclass
+class RawWavServer:
+    """Raw 16 kHz audio in, decoded poses out — the WHOLE ingress on device.
+
+    ServingPipeline takes host-staged queries: the caller must run WavLM /
+    vq-wav2vec and the per-step stacking in NumPy first (the reference does
+    this in a separate torch pass, make_test_data.py:43-64, so its ~5 min
+    quick-start figure EXCLUDES feature extraction). This server fuses the
+    JAX encoder ports (models/wavlm.py, models/vq_wav2vec.py) and the
+    staging gathers (match/device_staging.py) into the matching+decode
+    program: one upload (the wav, int16 accepted), one program, one
+    download — the honest wav-to-gesture serving path.
+
+    encoder_apply(encoder_params, wav (W, n_samples) f32) must return WavLM
+    features (W, F, 1024) for wavlm modes or vq-wav2vec codes (W, 398, 2)
+    int32 for wavvq mode. Context embeddings remain a host input: they come
+    from the transcript, not the audio (make_txt_dataset,
+    make_beat_dataset.py:432). Selected indices are identical to staging
+    on host and calling CodeKNNEngine.predict (tests/test_serve.py).
+    """
+    engine: CodeKNNEngine
+    model: VQVAE
+    params: dict
+    cb: object
+    encoder_apply: object
+    encoder_params: dict
+    data_mean: Optional[np.ndarray] = None
+    data_std: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        from .match.device_staging import (stage_context_jnp,
+                                           stage_wavlm_jnp, stage_wavvq_jnp)
+        cfg = self.engine.cfg
+        assert cfg.use_aud, "RawWavServer is the audio ingress path"
+        if cfg.audio_mode not in ("wavvq_feat", "wavlm_feat", "wavlm"):
+            raise ValueError(
+                f"RawWavServer handles the wavvq/wavlm ingress; mode "
+                f"{cfg.audio_mode!r} stages MFCC features on host "
+                f"(use ServingPipeline with stage_test_audio)")
+        geom = self.engine.db.geom
+        model = self.model
+        dev, devdb = self.engine.dev, self.engine.devdb
+        encoder_apply = self.encoder_apply
+        n_steps = len(geom.step_clip_idx)
+        self.n_steps = n_steps
+
+        @jax.jit
+        def impl(params, cb, enc_params, wav, ctx, ic, ip, rb, rm, rc, rp):
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc, ic, ip, rb, rm, rc, rp)
+            W = blocks.shape[0] // n_steps
+            codes = blocks.reshape(
+                W, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            poses = model.decode(
+                params, cb, codes.reshape(1, -1).astype(jnp.int32))
+            return codes.astype(jnp.int32), poses[0], phases
+
+        self._impl = impl
+
+    def serve(self, wav: np.ndarray,
+              test_context: Optional[np.ndarray] = None,
+              init_code: int = 0,
+              init_phase: Optional[np.ndarray] = None,
+              rng: Optional[np.random.RandomState] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """wav (W, n_samples) int16/f32 windows (+ (W, 30, 384) context when
+        cfg.use_txt) -> (codes (W, 30), poses (W*240, 135) denormalized)."""
+        cfg = self.engine.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        W = wav.shape[0]
+        S = self.n_steps
+        if init_phase is None:
+            init_phase = np.zeros((8, 16), np.float32)
+        Q = W * S
+        rand_np, (rmask, rcode, rphase) = self.engine._chain_inputs(W, S,
+                                                                    rng)
+        if rmask is None:
+            rmask = np.zeros((Q,), bool)
+            rcode = np.zeros((Q,), np.int32)
+            rphase = np.zeros((Q, 8, 16), np.float32)
+        rmask = rmask.copy(); rcode = rcode.copy(); rphase = rphase.copy()
+        rmask[0] = True
+        rcode[0] = init_code
+        rphase[0] = init_phase
+
+        inputs = jax.device_put((wav, test_context, rand_np,
+                                 rmask, rcode, rphase))
+        wv, tc, rb, rm, rc, rp = inputs
+        codes_d, poses_d, _ = self._impl(
+            self.params, self.cb, self.encoder_params, wv, tc,
+            jnp.asarray(np.int32(init_code)), jnp.asarray(init_phase),
+            rb, rm, rc, rp)
+        codes, poses = jax.device_get((codes_d, poses_d))
+        if self.data_mean is not None:
+            std = np.clip(np.asarray(self.data_std), 0.01, None)
+            poses = poses * std + np.asarray(self.data_mean)
+        return np.asarray(codes), np.asarray(poses)
+
+
 class StreamingSession:
     """Incremental (live-audio) matching: one 4 s window per call, with the
     seed state persistent on device between calls.

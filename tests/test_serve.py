@@ -1,0 +1,184 @@
+"""RawWavServer: the fully-fused wav -> poses ingress must reproduce the
+host-staged path exactly — device staging gathers bit-match
+stage_test_audio, and serving with the in-program encoder selects the same
+codebook indices as encoding separately + CodeKNNEngine.predict."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig, VQVAEConfig
+from qpgesture_tpu.match.database import (mode_geometry, stage_database,
+                                          stage_test_audio,
+                                          stage_test_context)
+from qpgesture_tpu.match.device_staging import (stage_context_jnp,
+                                                stage_wavlm_jnp,
+                                                stage_wavvq_jnp)
+from qpgesture_tpu.match.engine import CodeKNNEngine
+from qpgesture_tpu.models.vqvae import VQVAE
+from qpgesture_tpu.serve import RawWavServer
+
+from fixtures import make_fixture
+
+
+def _stage(cfg, fx):
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                        wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+    return db
+
+
+def _tiny_vqvae(rng, codebook):
+    vq_cfg = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=codebook,
+                         input_dim=135, sample_length=30)
+    model = VQVAE(vq_cfg)
+    params, cb = model.init(jax.random.PRNGKey(0))
+    cb = model.init_codebook_from_batch(
+        params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
+        jax.random.PRNGKey(1))
+    return model, params, cb
+
+
+@pytest.mark.parametrize("mode,wavvq_mode", [
+    ("wavlm_feat", "combine"), ("wavlm", "combine"),
+    ("wavvq_feat", "combine"), ("wavvq_feat", "sum")])
+def test_device_staging_bitmatches_host(mode, wavvq_mode):
+    """match/device_staging == stage_test_audio: bit-exact for the integer
+    gathers (wavvq), within 1 ulp for the interpolated wavlm modes (XLA
+    contracts the lerp into an FMA; see the module docstring)."""
+    rng = np.random.RandomState(41)
+    cfg = MatchConfig(audio_mode=mode, wavvq_mode=wavvq_mode)
+    geom = mode_geometry(cfg.audio_mode, step_sz_codes=cfg.step_sz,
+                         num_frames_code=cfg.num_frames_code,
+                         num_frames=cfg.num_frames)
+    if mode == "wavvq_feat":
+        from qpgesture_tpu.core import constants as C
+        x = rng.randint(0, C.WAVVQ_VOCAB, size=(2, C.WAVVQ_FRAMES, 2)
+                        ).astype(np.int32)
+        got = np.asarray(jax.jit(
+            lambda v: stage_wavvq_jnp(cfg, geom, v))(jnp.asarray(x)))
+    else:
+        x = rng.randn(2, 199, 32).astype(np.float32)
+        got = np.asarray(jax.jit(
+            lambda v: stage_wavlm_jnp(cfg, geom, v))(jnp.asarray(x)))
+
+    class _DB:  # stage_test_audio only reads .geom
+        pass
+    db = _DB()
+    db.geom = geom
+    want = np.asarray(stage_test_audio(
+        cfg, db, wavlm=None if mode == "wavvq_feat" else x,
+        wavvq=x if mode == "wavvq_feat" else None))
+    if mode == "wavvq_feat":
+        np.testing.assert_array_equal(got, want)
+    else:
+        # 1-ulp-of-the-operands FMA tolerance on the lerp (absolute term:
+        # near-cancelling lerps leave tiny values whose relative error
+        # exceeds 1 ulp); zero-padded slots stay exact
+        np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-6)
+        np.testing.assert_array_equal(got == 0.0, want == 0.0)
+
+
+def test_device_context_staging_bitmatches_host():
+    rng = np.random.RandomState(43)
+    cfg = MATCH_PRESETS["wavvq"]
+    fx = make_fixture(rng, n_seq=3, n_test=2, codebook=32)
+    cfg = dataclasses.replace(cfg, codebook_size=32)
+    db = _stage(cfg, fx)
+    got = np.asarray(jax.jit(
+        lambda c: stage_context_jnp(db.geom, c))(
+            jnp.asarray(fx["test_context"])))
+    want = stage_test_context(db, fx["test_context"])
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_rawwav_server_wavvq_matches_host_path():
+    """wav -> vq-wav2vec -> stage -> match -> decode in ONE program equals
+    encoding on host + stage_test_audio + engine.predict."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+
+    rng = np.random.RandomState(47)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    wav = rng.randn(2, 64000).astype(np.float32) * 0.1
+    enc_params = enc.init(jax.random.PRNGKey(2), wav[:1])["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    codes_np = np.asarray(jax.jit(encoder_apply)(enc_params,
+                                                 jnp.asarray(wav)))
+    assert codes_np.shape == (2, 398, 2)
+    ta = stage_test_audio(cfg, db, wavvq=codes_np)
+    tc = stage_test_context(db, fx["test_context"])
+    want = engine.predict(ta, tc, init_code=3,
+                          init_phase=np.zeros((8, 16), np.float32),
+                          rng=np.random.RandomState(cfg.seed))
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    got_codes, got_poses = server.serve(
+        wav, fx["test_context"], init_code=3,
+        rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got_codes, want.codes)
+    assert got_poses.shape == (2 * 240, 135)
+
+
+def test_rawwav_server_wavlm_matches_host_path():
+    """Same contract for the shipped wavlm_feat mode, incl. int16 ingress
+    (int16/32768 == the host pipeline's float conversion)."""
+    from qpgesture_tpu.models.wavlm import WavLMJax, WavLMJaxConfig
+
+    rng = np.random.RandomState(53)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["shipped"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = WavLMJaxConfig(
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=2,
+        conv_feature_layers=((16, 10, 5), (16, 3, 2)),
+        conv_pos=8, conv_pos_groups=2, scan_layers=False)
+    enc = WavLMJax(enc_cfg)
+    wav_i16 = (rng.randn(2, 2000) * 2000).astype(np.int16)
+    wav_f32 = wav_i16.astype(np.float32) / 32768.0
+    enc_params = enc.init(jax.random.PRNGKey(3), wav_f32[:1])["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    feats_np = np.asarray(jax.jit(encoder_apply)(enc_params,
+                                                 jnp.asarray(wav_f32)))
+    assert feats_np.shape[-1] == 32
+    ta = stage_test_audio(cfg, db, wavlm=feats_np)
+    tc = stage_test_context(db, fx["test_context"])
+    want = engine.predict(ta, tc, init_code=5,
+                          init_phase=np.zeros((8, 16), np.float32),
+                          rng=np.random.RandomState(cfg.seed))
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    got_codes, _ = server.serve(wav_i16, fx["test_context"], init_code=5,
+                                rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got_codes, want.codes)
+
+
+def test_rawwav_server_rejects_mfcc_modes():
+    rng = np.random.RandomState(59)
+    fx = make_fixture(rng, n_seq=3, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["mfcc"], codebook_size=32)
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"])
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+    with pytest.raises(ValueError):
+        RawWavServer(engine, model, params, cb, lambda p, w: w, {})
