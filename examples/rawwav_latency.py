@@ -1,0 +1,127 @@
+"""Raw-audio -> gesture latency on the live backend (serve.RawWavServer).
+
+The bench.py figures stage features on host first (the reference's own
+assumption: its torch encoders run as a separate pass). This probe measures
+the FUSED ingress at production scale: full-size WavLM-Large / vq-wav2vec
+JAX encoders (random weights — no checkpoints ship in this environment, the
+compute is identical), speaker-10-scale database (1024 windows), 24 s clip
+(6 x 4 s int16 windows), full-size VQ-VAE decode. Reports e2e wall (through
+the host link) and link-free device time (utils/devtime), plus XLA
+cost-analysis FLOPs for the fused program.
+
+    python examples/rawwav_latency.py [wavvq|wavlm] ...
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from bench import _build_common, _stage_mode  # noqa: E402
+from qpgesture_tpu.core.config import VQVAEConfig  # noqa: E402
+from qpgesture_tpu.models.vqvae import VQVAE  # noqa: E402
+from qpgesture_tpu.serve import RawWavServer  # noqa: E402
+from qpgesture_tpu.utils import devtime  # noqa: E402
+
+J, W, N_SAMPLES = 1024, 6, 64000
+
+
+def build_encoder(mode):
+    if mode == "wavvq":
+        from qpgesture_tpu.models.vq_wav2vec import (VQWav2Vec,
+                                                     VQWav2VecConfig)
+        enc = VQWav2Vec(VQWav2VecConfig())
+    else:
+        from qpgesture_tpu.models.wavlm import WavLMJax, WavLMJaxConfig
+        enc = WavLMJax(WavLMJaxConfig())  # WavLM-Large topology
+
+    wav0 = np.zeros((1, N_SAMPLES), np.float32)
+    params = enc.init(jax.random.PRNGKey(7), wav0)["params"]
+
+    def apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    return apply, params
+
+
+def run(mode: str) -> dict:
+    rng = np.random.RandomState(0)
+    bundle, codes, signature = _build_common(rng, J)
+    cfg, db, engine, _, test_ctx_staged = _stage_mode(
+        mode, rng, J, W, bundle, codes, signature)
+
+    vq_cfg = VQVAEConfig()
+    model = VQVAE(vq_cfg)
+    params, cb = model.init(jax.random.PRNGKey(0), sample_len=240)
+    cb = model.init_codebook_from_batch(
+        params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
+        jax.random.PRNGKey(1))
+
+    enc_apply, enc_params = build_encoder(mode)
+    server = RawWavServer(engine, model, params, cb, enc_apply, enc_params)
+
+    wav = (rng.randn(W, N_SAMPLES) * 3000).astype(np.int16)
+    ctx = rng.randn(W, 30, 384).astype(np.float32)
+
+    t0 = time.perf_counter()
+    codes_out, poses = server.serve(wav, ctx, init_code=7)
+    compile_wall = time.perf_counter() - t0
+    assert codes_out.shape == (W, 30) and poses.shape == (W * 240, 135)
+
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        server.serve(wav, ctx, init_code=7)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+
+    # device-only time + FLOPs of the fused program
+    S = server.n_steps
+    Q = W * S
+    args = (params, cb, enc_params, jnp.asarray(wav), jnp.asarray(ctx),
+            jnp.asarray(np.int32(7)), jnp.zeros((8, 16), jnp.float32),
+            None, jnp.zeros((Q,), bool), jnp.zeros((Q,), jnp.int32),
+            jnp.zeros((Q, 8, 16), jnp.float32))
+
+    def fn(*a):
+        return server._impl(*a)[0]
+
+    dev_s, _ = devtime.device_seconds_per_iter(fn, args, k_small=1,
+                                               k_large=3, reps=5)
+    flops = devtime.cost_analysis_flops(server._impl, *args)
+    kind, peak = devtime.peak_flops_per_s()
+    gest_s = W * 4.0
+    out = {
+        "mode": mode,
+        "e2e_p50_ms": round(p50 * 1e3, 2),
+        "device_ms": round(dev_s * 1e3, 2),
+        "gest_s_per_s": round(gest_s / p50, 1),
+        "gest_s_per_device_s": round(gest_s / dev_s, 1) if dev_s > 0
+        else None,
+        "first_call_wall_s": round(compile_wall, 1),
+        "flops": flops,
+    }
+    if flops and dev_s > 0:
+        out["tflops_effective"] = round(flops / dev_s / 1e12, 2)
+        u = devtime.mfu(flops, dev_s, peak)
+        if u is not None:
+            out["mfu_bf16_peak"] = round(u, 4)
+    return out
+
+
+if __name__ == "__main__":
+    modes = sys.argv[1:] or ["wavvq", "wavlm"]
+    for m in modes:
+        print(json.dumps(run(m)), flush=True)

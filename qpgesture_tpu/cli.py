@@ -45,24 +45,36 @@ def _load_vqvae(checkpoint: str, cfg):
     return model, state.params, state.codebook
 
 
-def cmd_match(args):
+def _load_match_db(args):
+    """The match CLI's database staging, shared with `warmup`: load the
+    bundle/codes/signature(/wavlm/wavvq) files and stage the device
+    database. Returns (cfg, db)."""
     from .core.config import MATCH_PRESETS, MatchConfig
     from .core.schemas import (CodebookSignature, DatabaseBundle, load_codes,
-                               load_wavlm, load_wavvq, save_result)
-    from .match.database import (stage_database, stage_test_audio,
-                                 stage_test_context)
-    from .match.engine import CodeKNNEngine
+                               load_wavlm, load_wavvq)
+    from .match.database import stage_database
 
     preset = MATCH_PRESETS[args.preset]
     bundle = DatabaseBundle.load(args.train_database)
     codes = load_codes(args.train_codebook)
     signature = CodebookSignature.load(args.codebook_signature)
-    cfg = MatchConfig(**{**preset.__dict__, "desired_k": args.desired_k,
+    cfg = MatchConfig(**{**preset.__dict__,
+                         "desired_k": getattr(args, "desired_k", 0),
                          "codebook_size": signature.signature.shape[0]})
     wavlm = load_wavlm(args.train_wavlm) if args.train_wavlm else None
     wavvq = load_wavvq(args.train_wavvq) if args.train_wavvq else None
     db = stage_database(cfg, bundle, codes, signature, wavlm=wavlm,
                         wavvq=wavvq)
+    return cfg, db
+
+
+def cmd_match(args):
+    from .core.schemas import DatabaseBundle, load_wavlm, load_wavvq, \
+        save_result
+    from .match.database import stage_test_audio, stage_test_context
+    from .match.engine import CodeKNNEngine
+
+    cfg, db = _load_match_db(args)
 
     test_bundle = DatabaseBundle.load(args.test_data) if args.test_data \
         else None
@@ -97,6 +109,71 @@ def cmd_match(args):
         result = engine.predict(test_audio, test_context)
     save_result(args.out, result.codes)
     print(f"wrote {args.out}: knn_pred {result.codes.shape}")
+
+
+def cmd_warmup(args):
+    """Pre-compile the serving programs into the persistent compile cache.
+
+    Cold XLA compiles cost minutes on relay-attached chips and each window
+    -count bucket is a separate shape-specialized program (ARCHITECTURE.md
+    'Measured performance'). Run once at deploy time against the REAL
+    database files — the compiled executables are specialized to the
+    database scale, so warming a different-size synthetic database does
+    not help production — and every later process (match CLI, serving,
+    bench) hits the cache."""
+    import time
+
+    import numpy as np
+
+    from .match.engine import CodeKNNEngine
+
+    cfg, db = _load_match_db(args)
+    engine = CodeKNNEngine(cfg, db)
+    rng = np.random.RandomState(0)
+    S = len(db.geom.step_clip_idx)
+    buckets = [int(b) for b in args.buckets.split(",")]
+
+    decode = None
+    if args.decode:
+        import jax
+        import jax.numpy as jnp
+
+        from .core.config import VQVAEConfig, load_config
+        vq_cfg = load_config(args.config).vqvae if args.config \
+            else VQVAEConfig()
+        if args.checkpoint:
+            model, params, cb = _load_vqvae(args.checkpoint, vq_cfg)
+        else:
+            # executables are specialized to shapes, not weights: random
+            # params of the right config warm the same cache entry
+            from .models.vqvae import VQVAE
+            model = VQVAE(vq_cfg)
+            params, cb = model.init(jax.random.PRNGKey(0), sample_len=240)
+        decode_jit = jax.jit(lambda z: model.decode(params, cb, z))
+
+        def decode(codes):
+            return decode_jit(jnp.asarray(codes.reshape(1, -1), jnp.int32))
+
+    for W in buckets:
+        ta = tc = None
+        if cfg.use_aud:
+            if cfg.audio_mode == "wavvq_feat":
+                shape = (W, S) + db.aud_strings.shape[2:]
+                ta = rng.randint(0, 320, size=shape).astype(np.int32)
+            else:
+                ta = rng.randn(W, S, db.aud_feat.shape[-1]
+                               ).astype(np.float32)
+        if cfg.use_txt:
+            tc = rng.randn(W, S, db.txt_feat.shape[-1]).astype(np.float32)
+        t0 = time.perf_counter()
+        res = engine.predict(ta, tc)
+        if decode is not None:
+            np.asarray(decode(res.codes))
+        dt = time.perf_counter() - t0
+        print(f"bucket W={W:4d}: first call {dt:7.1f} s "
+              f"(compile + run; later calls serve from the cache)")
+    print(f"warm: {len(buckets)} bucket(s), preset {args.preset}"
+          f"{', decode' if decode is not None else ''}")
 
 
 def cmd_decode(args):
@@ -731,6 +808,29 @@ def main(argv=None):
                         "or 'reference' (bit-parity with the original "
                         "binary's unstable introsort + f64 rank sums)")
     m.set_defaults(fn=cmd_match)
+
+    wu = sub.add_parser(
+        "warmup", help="pre-compile serving programs into the compile "
+                       "cache (run once at deploy time)")
+    wu.add_argument("--train-database", required=True)
+    wu.add_argument("--train-codebook", required=True)
+    wu.add_argument("--codebook-signature", required=True)
+    wu.add_argument("--train-wavlm")
+    wu.add_argument("--train-wavvq")
+    wu.add_argument("--preset", default="shipped",
+                    choices=["shipped", "wavvq", "wavvq_aud_only", "mfcc",
+                             "no_phase", "no_text", "no_audio"])
+    wu.add_argument("--buckets", default="1,2,4,8,16",
+                    help="comma-separated window counts to compile "
+                         "(CodeKNNEngine.BUCKETS prefix by default)")
+    wu.add_argument("--decode", action="store_true",
+                    help="also warm the VQ-VAE decode program per bucket")
+    wu.add_argument("--checkpoint",
+                    help="VQ-VAE checkpoint for --decode (optional: "
+                         "executables are shape-specialized, random "
+                         "weights warm the same cache entries)")
+    wu.add_argument("--config")
+    wu.set_defaults(fn=cmd_warmup)
 
     d = sub.add_parser("decode", help="decode result.npz to BVH")
     d.add_argument("--result", required=True)

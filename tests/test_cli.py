@@ -141,3 +141,29 @@ def test_cli_evaluate(tmp_path, rng, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 <= out["hellinger"] <= 1
     assert out["fgd_raw"] >= 0
+
+
+def test_cli_warmup(tmp_path, rng, capsys):
+    """warmup compiles the requested buckets against the real database
+    files and reports per-bucket first-call time."""
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    db_path = str(tmp_path / "train_txt.npz")
+    fx["bundle"].save(db_path)
+    codes_path = str(tmp_path / "train_code.npz")
+    save_codes(codes_path, fx["codes"])
+    sig_path = str(tmp_path / "code.npz")
+    fx["signature"].save(sig_path)
+    wavvq_path = str(tmp_path / "train_wavvq.npz")
+    save_wavvq(wavvq_path, fx["wavvq"])
+
+    cli_main(["warmup",
+              "--train-database", db_path,
+              "--train-codebook", codes_path,
+              "--codebook-signature", sig_path,
+              "--train-wavvq", wavvq_path,
+              "--preset", "wavvq",
+              "--buckets", "1,2",
+              "--decode"])
+    out = capsys.readouterr().out
+    assert "bucket W=   1" in out and "bucket W=   2" in out
+    assert "warm: 2 bucket(s), preset wavvq, decode" in out
