@@ -112,6 +112,13 @@ def main():
     ap.add_argument("--post-eval", action="store_true",
                     help="CPU pass: Hellinger/FGD trend over the periodic "
                          "checkpoints saved by a finished run")
+    ap.add_argument("--conv-precision", default="highest",
+                    choices=["highest", "high", "default"],
+                    help="VQVAEConfig.conv_precision: 'default' runs the "
+                         "1-pass bf16 MXU fast path (~5x step throughput, "
+                         "bench.py train bf16_variant) — this flag "
+                         "validates it over a full campaign, not just a "
+                         "step microbenchmark")
     args = ap.parse_args()
     if args.post_eval:
         return post_eval(args)
@@ -158,8 +165,8 @@ def main():
 
     phase_log(f"{len(store)} windows, {steps_per_epoch} steps/epoch; "
               "building trainer...")
-    trainer = VQVAETrainer(VQVAEConfig(), train_cfg,
-                           steps_per_epoch=steps_per_epoch)
+    trainer = VQVAETrainer(VQVAEConfig(conv_precision=args.conv_precision),
+                           train_cfg, steps_per_epoch=steps_per_epoch)
     state = trainer.init_state(jax.random.PRNGKey(0))
     phase_log("init codebook...")
     first = next(iter(store.batches(train_cfg.batch_size, seed=0)))
@@ -180,7 +187,8 @@ def main():
 
     hist = ScalarHistory(os.path.join(args.out, "scalars.jsonl"))
     key = jax.random.PRNGKey(100 + start_epoch)
-    report = {"steps_per_epoch": steps_per_epoch,
+    report = {"conv_precision": args.conv_precision,
+              "steps_per_epoch": steps_per_epoch,
               "windows_total": len(store), "epochs_run": [],
               "batch": [train_cfg.batch_size, train_cfg.n_poses, 135]}
     epoch_rates = []

@@ -165,6 +165,68 @@ class RawWavServer:
 
         self._impl = impl
 
+        @partial(jax.jit, static_argnames=("clips",))
+        def impl_batch(params, cb, enc_params, wav, ctx, rb, rm, rc, rp,
+                       clips):
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc,
+                jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                rb, rm, rc, rp, clips=clips)
+            W = blocks.shape[0] // (clips * n_steps)
+            codes = blocks.reshape(
+                clips, W, n_steps * cfg.step_sz)[:, :, :cfg.num_frames_code]
+            poses = model.decode(
+                params, cb,
+                codes.reshape(clips, -1).astype(jnp.int32))
+            return codes.astype(jnp.int32), poses
+
+        self._impl_batch = impl_batch
+
+    def serve_batch(self, wav: np.ndarray,
+                    test_context: Optional[np.ndarray] = None,
+                    init_codes: Optional[np.ndarray] = None,
+                    init_phases: Optional[np.ndarray] = None,
+                    rng: Optional[np.random.RandomState] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched raw-audio serving: C independent clips in ONE program.
+
+        wav: (C, W, n_samples) int16/f32; test_context: (C, W, 30, 384)
+        when cfg.use_txt. The C*W windows batch through the encoder (good
+        MXU shapes) and the fusion runs C vmapped lanes with seed resets at
+        clip boundaries (engine.predict_batch semantics — per-clip results
+        equal serve() with the same explicit init_codes). Returns
+        (codes (C, W, 30), poses (C, W*240, 135) denormalized)."""
+        cfg = self.engine.cfg
+        C, W = wav.shape[:2]
+        S = self.n_steps
+        (_, _, reset_mask, reset_code, reset_phase,
+         rand_bits) = self.engine._batch_inputs(
+            C, W, S, None, None, init_codes, init_phases, rng)
+        wav_flat = wav.reshape((C * W,) + wav.shape[2:])
+        ctx_flat = None
+        if cfg.use_txt:
+            ctx_flat = test_context.reshape((C * W,)
+                                            + test_context.shape[2:])
+        inputs = jax.device_put((wav_flat, ctx_flat, rand_bits, reset_mask,
+                                 reset_code, reset_phase))
+        wv, tc, rb, rm, rc, rp = inputs
+        codes_d, poses_d = self._impl_batch(
+            self.params, self.cb, self.encoder_params, wv, tc, rb, rm, rc,
+            rp, clips=C)
+        codes, poses = jax.device_get((codes_d, poses_d))
+        if self.data_mean is not None:
+            std = np.clip(np.asarray(self.data_std), 0.01, None)
+            poses = poses * std + np.asarray(self.data_mean)
+        return np.asarray(codes), np.asarray(poses)
+
     def serve(self, wav: np.ndarray,
               test_context: Optional[np.ndarray] = None,
               init_code: int = 0,

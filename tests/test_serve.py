@@ -182,3 +182,40 @@ def test_rawwav_server_rejects_mfcc_modes():
     model, params, cb = _tiny_vqvae(rng, 32)
     with pytest.raises(ValueError):
         RawWavServer(engine, model, params, cb, lambda p, w: w, {})
+
+
+def test_rawwav_serve_batch_matches_sequential():
+    """serve_batch (C clips, one program) == serve() per clip with the
+    same explicit init codes (predict_batch's tested contract)."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+
+    rng = np.random.RandomState(61)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    C, W = 2, 2
+    wav = (rng.randn(C, W, 64000) * 3000).astype(np.int16)
+    ctx = rng.randn(C, W, 30, 384).astype(np.float32)
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          np.zeros((1, 64000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    init_codes = np.array([3, 9], np.int32)
+    init_phases = np.zeros((C, 8, 16), np.float32)
+    got_codes, got_poses = server.serve_batch(wav, ctx, init_codes,
+                                              init_phases)
+    assert got_codes.shape == (C, W, 30)
+    assert got_poses.shape == (C, W * 240, 135)
+    for c in range(C):
+        codes_c, _ = server.serve(wav[c], ctx[c], init_code=int(init_codes[c]))
+        np.testing.assert_array_equal(got_codes[c], codes_c)
