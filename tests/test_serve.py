@@ -219,3 +219,43 @@ def test_rawwav_serve_batch_matches_sequential():
     for c in range(C):
         codes_c, _ = server.serve(wav[c], ctx[c], init_code=int(init_codes[c]))
         np.testing.assert_array_equal(got_codes[c], codes_c)
+
+
+def test_rawwav_serve_batch_wavlm_mode():
+    """serve_batch parity in the shipped wavlm_feat mode (int16 ingress)."""
+    from qpgesture_tpu.models.wavlm import WavLMJax, WavLMJaxConfig
+
+    rng = np.random.RandomState(67)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["shipped"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = WavLMJaxConfig(
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=2,
+        conv_feature_layers=((16, 10, 5), (16, 3, 2)),
+        conv_pos=8, conv_pos_groups=2, scan_layers=False)
+    enc = WavLMJax(enc_cfg)
+    C, W = 2, 2
+    wav = (rng.randn(C, W, 2000) * 2000).astype(np.int16)
+    ctx = rng.randn(C, W, 30, 384).astype(np.float32)
+    enc_params = enc.init(jax.random.PRNGKey(5),
+                          np.zeros((1, 2000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    init_codes = np.array([5, 1], np.int32)
+    init_phases = np.zeros((C, 8, 16), np.float32)
+    got_codes, got_poses = server.serve_batch(wav, ctx, init_codes,
+                                              init_phases)
+    assert got_codes.shape == (C, W, 30)
+    assert got_poses.shape == (C, W * 240, 135)
+    for c in range(C):
+        codes_c, _ = server.serve(wav[c], ctx[c],
+                                  init_code=int(init_codes[c]))
+        np.testing.assert_array_equal(got_codes[c], codes_c)
