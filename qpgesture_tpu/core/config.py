@@ -261,6 +261,14 @@ MATCH_PRESETS: Dict[str, MatchConfig] = {
     # The paper's shipped configuration (WavLM cosine + text + phase).
     "shipped": MatchConfig(audio_mode="wavlm_feat", use_aud=True,
                            use_txt=True, use_phase=True),
+    # Production serving point for the shipped mode: the audio distance
+    # matmul runs 3-pass bf16x3 ('high') — ~2x faster candidate tables,
+    # empirically index-identical to 'highest' across the on-chip parity
+    # sweep (chip_parity_sweep --cosine-precision high, 21/21 clean; see
+    # bench.py tables_ms_high). Everything else identical to "shipped".
+    "shipped_fast": MatchConfig(audio_mode="wavlm_feat", use_aud=True,
+                                use_txt=True, use_phase=True,
+                                cosine_precision="high"),
     # wavvq Levenshtein path fed by wavvq_240.npz (GestureKNN.sh:2,17).
     "wavvq": MatchConfig(audio_mode="wavvq_feat", use_aud=True,
                          use_txt=True, use_phase=True),

@@ -509,3 +509,14 @@ def test_cosine_precision_variants_match_oracle(precision):
     res_e = CodeKNNEngine(cfg, db).predict(
         test_audio, test_context, rng=np.random.RandomState(cfg.seed))
     np.testing.assert_array_equal(res_o.codes, res_e.codes)
+
+
+def test_shipped_fast_preset_is_shipped_plus_high_precision():
+    """MATCH_PRESETS['shipped_fast'] is the certified production serving
+    point: identical to 'shipped' except cosine_precision='high' (the
+    3-pass bf16x3 distance matmul, on-chip sweep 21/21 clean)."""
+    import dataclasses
+    fast = MATCH_PRESETS["shipped_fast"]
+    want = dataclasses.replace(MATCH_PRESETS["shipped"],
+                               cosine_precision="high")
+    assert fast == want
