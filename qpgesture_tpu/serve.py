@@ -352,3 +352,89 @@ class StreamingSession:
     def state(self):
         """(seed_code, seed_phase) currently resident on device."""
         return self._code_d, self._phase_d
+
+
+class StreamingRawWavSession:
+    """Live-audio streaming with the encoder fused in: one raw 4 s wav
+    window per call, codes out, seed state persistent on device.
+
+    StreamingSession takes host-staged features; this session fuses the
+    JAX encoder (WavLM / vq-wav2vec) and the per-window staging gathers
+    into the per-push program, so a microphone loop only ships the raw
+    int16 window (~125 KB at 16 kHz) each push. Window w's codes are
+    bit-identical to RawWavServer.serve over the same windows with the
+    same init seeds (tests/test_serve.py) — the sequential seed chain
+    (GestureKNN.py:789-802) is carried in HBM exactly as StreamingSession
+    does. Chaining configs only, like StreamingSession.
+    """
+
+    def __init__(self, server: RawWavServer,
+                 init_code: Optional[int] = None,
+                 init_phase: Optional[np.ndarray] = None,
+                 rng: Optional[np.random.RandomState] = None):
+        from .match.device_staging import (stage_context_jnp,
+                                           stage_wavlm_jnp, stage_wavvq_jnp)
+        engine = server.engine
+        cfg = engine.cfg
+        assert cfg.chain_windows, (
+            "streaming requires a window-chaining config; non-chaining "
+            "modes (mfcc/raw presets) re-seed every window")
+        self.server = server
+        self.cfg = cfg
+        self.rng = rng or np.random.RandomState(cfg.seed)
+        if init_code is None:
+            from .match.oracle import CodeKNNOracle
+            init_code, got_phase = CodeKNNOracle(
+                engine.db).init_code_phase(self.rng)
+            if init_phase is None:
+                init_phase = got_phase
+        if init_phase is None:
+            init_phase = np.zeros((8, 16), np.float32)
+        self._code_d, self._phase_d = jax.device_put(
+            (np.int32(init_code), np.asarray(init_phase, np.float32)))
+        self._needs_rand = (not cfg.use_phase and cfg.use_aud
+                            and cfg.use_txt)
+        geom = engine.db.geom
+        dev, devdb = engine.dev, engine.devdb
+        encoder_apply = server.encoder_apply
+        n_steps = len(geom.step_clip_idx)
+        self.n_steps = n_steps
+
+        @jax.jit
+        def step(enc_params, wav, ctx, code, phase, rb):
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc, code, phase, rb)
+            codes = blocks.reshape(
+                1, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            new_code = codes[0, -1].astype(jnp.int32)
+            new_phase = phases[-1]
+            return codes.astype(jnp.int32), new_phase, new_code
+
+        self._step = step
+
+    def push_wav(self, wav_w: np.ndarray,
+                 context_w: Optional[np.ndarray] = None) -> np.ndarray:
+        """One raw wav window (n_samples,) int16/f32 (+ (30, 384) context
+        when cfg.use_txt) -> (30,) int32 codes. Seeds stay on device."""
+        cfg = self.cfg
+        rb = None
+        if self._needs_rand:
+            rb = (self.rng.rand(self.n_steps) > 0.5).astype(np.int32)
+        ctx = context_w[None] if cfg.use_txt else None
+        wav, ctx, rb = jax.device_put((wav_w[None], ctx, rb))
+        codes, self._phase_d, self._code_d = self._step(
+            self.server.encoder_params, wav, ctx,
+            self._code_d, self._phase_d, rb)
+        return np.asarray(codes)[0]
+
+    def state(self):
+        """(seed_code, seed_phase) currently resident on device."""
+        return self._code_d, self._phase_d

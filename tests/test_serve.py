@@ -259,3 +259,43 @@ def test_rawwav_serve_batch_wavlm_mode():
         codes_c, _ = server.serve(wav[c], ctx[c],
                                   init_code=int(init_codes[c]))
         np.testing.assert_array_equal(got_codes[c], codes_c)
+
+
+def test_streaming_rawwav_matches_whole_clip():
+    """StreamingRawWavSession.push_wav per window == RawWavServer.serve
+    over the same windows with the same init seeds."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+    from qpgesture_tpu.serve import StreamingRawWavSession
+
+    rng = np.random.RandomState(71)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    W = 3
+    wav = (rng.randn(W, 64000) * 3000).astype(np.int16)
+    ctx = rng.randn(W, 30, 384).astype(np.float32)
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          np.zeros((1, 64000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    init_phase = np.zeros((8, 16), np.float32)
+    want_codes, _ = server.serve(wav, ctx, init_code=7,
+                                 init_phase=init_phase,
+                                 rng=np.random.RandomState(cfg.seed))
+
+    sess = StreamingRawWavSession(server, init_code=7,
+                                  init_phase=init_phase,
+                                  rng=np.random.RandomState(cfg.seed))
+    for w in range(W):
+        got = sess.push_wav(wav[w], ctx[w])
+        np.testing.assert_array_equal(got, want_codes[w])
