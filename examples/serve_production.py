@@ -5,7 +5,10 @@ Demonstrates the three serving modes of the matching engine:
   2. bucketed     — engine.predict_bucketed (arbitrary clip lengths share
                     compiled programs via window-count padding);
   3. batched      — engine.predict_batch (many independent clips fused
-                    into ONE dispatch, seed chains reset per clip).
+                    into ONE dispatch, seed chains reset per clip);
+  4. multi-stream — serve.StreamingPool (C concurrent live sessions
+                    advanced one window per tick, per-stream seeds
+                    persistent in HBM).
 
 Run: python examples/serve_production.py  (any backend; first compile on a
 real chip takes ~20-40 s, cached afterwards).
@@ -79,6 +82,18 @@ def main():
     print(f"   {len(results)} clips in {dt:.2f}s "
           f"({sum(r.codes.shape[0] * 4 for r in results) / dt:.0f} "
           f"gest-s/s incl. compile)")
+
+    print("== 4. multi-stream: 8 live sessions, one program per tick")
+    from qpgesture_tpu.serve import StreamingPool
+    pool = StreamingPool(engine, n_streams=8)
+    for tick in range(3):
+        ta = np.stack([make_clip(1)[0][0] for _ in range(8)])
+        tc = np.stack([make_clip(1)[1][0] for _ in range(8)])
+        t0 = time.perf_counter()
+        out = pool.tick(ta, tc)
+        print(f"   tick {tick}: {out.shape} codes for 8 streams in "
+              f"{time.perf_counter() - t0:.3f}s"
+              + (" (incl. compile)" if tick == 0 else ""))
 
 
 if __name__ == "__main__":

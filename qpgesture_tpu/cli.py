@@ -172,8 +172,33 @@ def cmd_warmup(args):
         dt = time.perf_counter() - t0
         print(f"bucket W={W:4d}: first call {dt:7.1f} s "
               f"(compile + run; later calls serve from the cache)")
+    if args.streams:
+        if not cfg.chain_windows:
+            print(f"streams: preset {args.preset} is non-chaining; "
+                  f"streaming pool not applicable, skipped")
+        else:
+            from .serve import StreamingPool
+            C = args.streams
+            pool = StreamingPool(engine, C)
+            ta = tc = None
+            if cfg.use_aud:
+                if cfg.audio_mode == "wavvq_feat":
+                    shape = (C, S) + db.aud_strings.shape[2:]
+                    ta = rng.randint(0, 320, size=shape).astype(np.int32)
+                else:
+                    ta = rng.randn(C, S, db.aud_feat.shape[-1]
+                                   ).astype(np.float32)
+            if cfg.use_txt:
+                tc = rng.randn(C, S, db.txt_feat.shape[-1]
+                               ).astype(np.float32)
+            t0 = time.perf_counter()
+            pool.tick(ta, tc)
+            print(f"streams C={args.streams}: first tick "
+                  f"{time.perf_counter() - t0:7.1f} s")
     print(f"warm: {len(buckets)} bucket(s), preset {args.preset}"
-          f"{', decode' if decode is not None else ''}")
+          f"{', decode' if decode is not None else ''}"
+          + (f", {args.streams}-stream pool"
+             if args.streams and cfg.chain_windows else ""))
 
 
 def cmd_decode(args):
@@ -798,7 +823,8 @@ def main(argv=None):
     m.add_argument("--test-wavvq")
     m.add_argument("--out", default="./result.npz")
     m.add_argument("--preset", default="shipped",
-                   choices=["shipped", "wavvq", "wavvq_aud_only", "mfcc",
+                   choices=["shipped", "shipped_fast", "wavvq",
+                            "wavvq_aud_only", "mfcc",
                             "no_phase", "no_text", "no_audio"])
     m.add_argument("--desired-k", type=int, default=0)
     m.add_argument("--max-frames", type=int, default=0)
@@ -818,7 +844,8 @@ def main(argv=None):
     wu.add_argument("--train-wavlm")
     wu.add_argument("--train-wavvq")
     wu.add_argument("--preset", default="shipped",
-                    choices=["shipped", "wavvq", "wavvq_aud_only", "mfcc",
+                    choices=["shipped", "shipped_fast", "wavvq",
+                             "wavvq_aud_only", "mfcc",
                              "no_phase", "no_text", "no_audio"])
     wu.add_argument("--buckets", default="1,2,4,8,16",
                     help="comma-separated window counts to compile "
@@ -830,6 +857,9 @@ def main(argv=None):
                          "executables are shape-specialized, random "
                          "weights warm the same cache entries)")
     wu.add_argument("--config")
+    wu.add_argument("--streams", type=int, default=0,
+                    help="also warm the StreamingPool tick program for "
+                         "this many concurrent live streams")
     wu.set_defaults(fn=cmd_warmup)
 
     d = sub.add_parser("decode", help="decode result.npz to BVH")

@@ -354,6 +354,206 @@ class StreamingSession:
         return self._code_d, self._phase_d
 
 
+def _pool_seeds(engine, n_streams, init_codes, init_phases, rngs, cfg):
+    """Per-stream initial seeds, drawn exactly as StreamingSession draws
+    them (oracle init_code_phase from each stream's own rng when not
+    given), so pool streams are interchangeable with solo sessions."""
+    from .match.oracle import CodeKNNOracle
+    oracle = CodeKNNOracle(engine.db)
+    codes0 = np.zeros((n_streams,), np.int32)
+    phases0 = np.zeros((n_streams, 8, 16), np.float32)
+    for i in range(n_streams):
+        ic = None if init_codes is None else init_codes[i]
+        ip = None if init_phases is None else init_phases[i]
+        if ic is None:
+            ic, got = oracle.init_code_phase(rngs[i])
+            if ip is None:
+                ip = got
+        if ip is None:
+            ip = np.zeros((8, 16), np.float32)
+        codes0[i] = ic
+        phases0[i] = ip
+    return codes0, phases0
+
+
+def _pool_reset_inputs(n_steps, codes, phases):
+    """Seed the step-0 reset of each vmapped lane from the carried
+    per-stream state (device arrays — nothing round-trips to host)."""
+    C = codes.shape[0]
+    Q = C * n_steps
+    rm = jnp.zeros((Q,), bool).at[::n_steps].set(True)
+    rc = jnp.zeros((Q,), jnp.int32).at[::n_steps].set(codes)
+    rp = jnp.zeros((Q, 8, 16), jnp.float32).at[::n_steps].set(phases)
+    return rm, rc, rp
+
+
+class StreamingPool:
+    """C concurrent live streams in ONE device program per tick.
+
+    Production serving multiplexes many live sessions onto one chip; a
+    Python loop over StreamingSession objects pays one dispatch (and one
+    link RTT) per stream per window. The pool carries ALL per-stream seed
+    state — codes (C,), phases (C, 8, 16) — in HBM and advances every
+    stream one window per tick() through the vmapped per-clip fusion
+    (engine._fuse_scan_clips with W=1): each lane's step-0 reset is fed
+    from the carried state, so stream i's codes are bit-identical to an
+    independent StreamingSession with the same init seeds and rng
+    (tests/test_serve.py). Chaining configs only, like StreamingSession;
+    the no-phase aud+txt vote mode draws each stream's per-step rand bits
+    from that stream's own rng, matching the solo session's draw order.
+    """
+
+    def __init__(self, engine: CodeKNNEngine, n_streams: int,
+                 init_codes: Optional[np.ndarray] = None,
+                 init_phases: Optional[np.ndarray] = None,
+                 rngs: Optional[list] = None):
+        cfg = engine.cfg
+        assert cfg.chain_windows, (
+            "streaming requires a window-chaining config; non-chaining "
+            "modes (mfcc/raw presets) re-seed every window")
+        self.engine = engine
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.rngs = rngs or [np.random.RandomState(cfg.seed + i)
+                             for i in range(n_streams)]
+        assert len(self.rngs) == n_streams
+        codes0, phases0 = _pool_seeds(engine, n_streams, init_codes,
+                                      init_phases, self.rngs, cfg)
+        self._codes_d, self._phases_d = jax.device_put((codes0, phases0))
+        self._needs_rand = (not cfg.use_phase and cfg.use_aud
+                            and cfg.use_txt)
+        dev, devdb = engine.dev, engine.devdb
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def tick(n_steps, ta, tc, codes, phases, rb):
+            C = codes.shape[0]
+            rm, rc, rp = _pool_reset_inputs(n_steps, codes, phases)
+            blocks, step_phases, _ = _predict_impl(
+                cfg, n_steps, dev, devdb,
+                ta if cfg.use_aud else None,
+                tc if cfg.use_txt else None,
+                jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                rb, rm, rc, rp, clips=C)
+            out = blocks.reshape(
+                C, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            new_codes = out[:, -1].astype(jnp.int32)
+            new_phases = step_phases.reshape(
+                (C, n_steps) + step_phases.shape[1:])[:, -1]
+            return out.astype(jnp.int32), new_phases, new_codes
+
+        self._tick = tick
+
+    def _rand_bits(self, S):
+        if not self._needs_rand:
+            return None
+        return np.stack([(r.rand(S) > 0.5).astype(np.int32)
+                         for r in self.rngs]).reshape(-1)
+
+    def tick(self, test_audio: Optional[np.ndarray],
+             test_context: Optional[np.ndarray] = None) -> np.ndarray:
+        """One staged window PER STREAM in -> (C, 30) int32 codes out.
+
+        test_audio: (C, S, ...) stage_test_audio output, one window per
+        stream; test_context: (C, S, 384). Seeds stay on device."""
+        cfg = self.cfg
+        lead = test_audio if test_audio is not None else test_context
+        S = lead.shape[1]
+        rb = self._rand_bits(S)
+        ta = test_audio if cfg.use_aud else None
+        tc = test_context if cfg.use_txt else None
+        ta, tc, rb = jax.device_put((ta, tc, rb))
+        codes, self._phases_d, self._codes_d = self._tick(
+            S, ta, tc, self._codes_d, self._phases_d, rb)
+        return np.asarray(codes)
+
+    def state(self):
+        """(seed_codes (C,), seed_phases (C, 8, 16)) on device."""
+        return self._codes_d, self._phases_d
+
+
+class StreamingRawWavPool:
+    """C concurrent live RAW-AUDIO streams, encoder fused, one program per
+    tick: wav (C, n_samples) in, codes (C, 30) out. The C windows batch
+    through the WavLM / vq-wav2vec encoder (the per-stream solo session
+    runs the encoder at batch 1 — the pool's batching is where the MXU
+    utilization comes from), then the staging gathers and the vmapped
+    per-stream fusion run as in StreamingPool. Stream i is bit-identical
+    to a solo StreamingRawWavSession with the same seeds and rng."""
+
+    def __init__(self, server: RawWavServer, n_streams: int,
+                 init_codes: Optional[np.ndarray] = None,
+                 init_phases: Optional[np.ndarray] = None,
+                 rngs: Optional[list] = None):
+        from .match.device_staging import (stage_context_jnp,
+                                           stage_wavlm_jnp, stage_wavvq_jnp)
+        engine = server.engine
+        cfg = engine.cfg
+        assert cfg.chain_windows, (
+            "streaming requires a window-chaining config; non-chaining "
+            "modes (mfcc/raw presets) re-seed every window")
+        self.server = server
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.rngs = rngs or [np.random.RandomState(cfg.seed + i)
+                             for i in range(n_streams)]
+        assert len(self.rngs) == n_streams
+        codes0, phases0 = _pool_seeds(engine, n_streams, init_codes,
+                                      init_phases, self.rngs, cfg)
+        self._codes_d, self._phases_d = jax.device_put((codes0, phases0))
+        self._needs_rand = (not cfg.use_phase and cfg.use_aud
+                            and cfg.use_txt)
+        geom = engine.db.geom
+        dev, devdb = engine.dev, engine.devdb
+        encoder_apply = server.encoder_apply
+        n_steps = len(geom.step_clip_idx)
+        self.n_steps = n_steps
+
+        @jax.jit
+        def tick(enc_params, wav, ctx, codes, phases, rb):
+            C = codes.shape[0]
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            rm, rc, rp = _pool_reset_inputs(n_steps, codes, phases)
+            blocks, step_phases, _ = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc,
+                jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                rb, rm, rc, rp, clips=C)
+            out = blocks.reshape(
+                C, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            new_codes = out[:, -1].astype(jnp.int32)
+            new_phases = step_phases.reshape(
+                (C, n_steps) + step_phases.shape[1:])[:, -1]
+            return out.astype(jnp.int32), new_phases, new_codes
+
+        self._tick = tick
+
+    def tick(self, wav: np.ndarray,
+             context: Optional[np.ndarray] = None) -> np.ndarray:
+        """One raw wav window PER STREAM: wav (C, n_samples) int16/f32
+        (+ (C, 30, 384) context when cfg.use_txt) -> (C, 30) codes."""
+        cfg = self.cfg
+        rb = None
+        if self._needs_rand:
+            rb = np.stack([(r.rand(self.n_steps) > 0.5).astype(np.int32)
+                           for r in self.rngs]).reshape(-1)
+        ctx = context if cfg.use_txt else None
+        wav, ctx, rb = jax.device_put((wav, ctx, rb))
+        codes, self._phases_d, self._codes_d = self._tick(
+            self.server.encoder_params, wav, ctx,
+            self._codes_d, self._phases_d, rb)
+        return np.asarray(codes)
+
+    def state(self):
+        """(seed_codes (C,), seed_phases (C, 8, 16)) on device."""
+        return self._codes_d, self._phases_d
+
+
 class StreamingRawWavSession:
     """Live-audio streaming with the encoder fused in: one raw 4 s wav
     window per call, codes out, seed state persistent on device.

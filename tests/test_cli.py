@@ -167,3 +167,28 @@ def test_cli_warmup(tmp_path, rng, capsys):
     out = capsys.readouterr().out
     assert "bucket W=   1" in out and "bucket W=   2" in out
     assert "warm: 2 bucket(s), preset wavvq, decode" in out
+
+
+def test_cli_warmup_streams(tmp_path, rng, capsys):
+    """--streams also warms the StreamingPool tick program."""
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    db_path = str(tmp_path / "train_txt.npz")
+    fx["bundle"].save(db_path)
+    codes_path = str(tmp_path / "train_code.npz")
+    save_codes(codes_path, fx["codes"])
+    sig_path = str(tmp_path / "code.npz")
+    fx["signature"].save(sig_path)
+    wavvq_path = str(tmp_path / "train_wavvq.npz")
+    save_wavvq(wavvq_path, fx["wavvq"])
+
+    cli_main(["warmup",
+              "--train-database", db_path,
+              "--train-codebook", codes_path,
+              "--codebook-signature", sig_path,
+              "--train-wavvq", wavvq_path,
+              "--preset", "wavvq",
+              "--buckets", "1",
+              "--streams", "4"])
+    out = capsys.readouterr().out
+    assert "streams C=4: first tick" in out
+    assert "4-stream pool" in out

@@ -475,6 +475,54 @@ def test_streaming_session_matches_predict(preset):
     np.testing.assert_array_equal(np.stack(got), want.codes)
 
 
+@pytest.mark.parametrize("preset", ["wavvq", "shipped", "no_phase",
+                                    "no_audio"])
+def test_streaming_pool_matches_solo_sessions(preset):
+    """C concurrent streams through ONE program per tick (StreamingPool)
+    must be bit-identical, stream by stream, to C independent
+    StreamingSessions pushing the same windows with the same seeds/rngs.
+    no_phase exercises the per-stream rand-bit draws."""
+    import zlib
+
+    from qpgesture_tpu.serve import StreamingPool, StreamingSession
+    rng = np.random.RandomState(7600 + zlib.crc32(preset.encode()) % 1000)
+    fx = make_fixture(rng, n_seq=4, n_test=4, codebook=64)
+    cfg = MATCH_PRESETS[preset]
+    cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 64})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    C = 3
+    W = (test_audio if test_audio is not None else test_context).shape[0]
+
+    # each stream serves a different window sequence (rolled per stream)
+    def stream_windows(x, i):
+        return None if x is None else np.roll(x, -i, axis=0)
+
+    solo = []
+    for i in range(C):
+        sess = StreamingSession(engine,
+                                rng=np.random.RandomState(cfg.seed + i))
+        rows = [sess.push_window(
+            stream_windows(test_audio, i)[w] if cfg.use_aud else None,
+            stream_windows(test_context, i)[w] if cfg.use_txt else None)
+            for w in range(W)]
+        solo.append(np.stack(rows))
+    want = np.stack(solo)  # (C, W, 30)
+
+    pool = StreamingPool(engine, C,
+                         rngs=[np.random.RandomState(cfg.seed + i)
+                               for i in range(C)])
+    got = []
+    for w in range(W):
+        ta = None if test_audio is None else np.stack(
+            [stream_windows(test_audio, i)[w] for i in range(C)])
+        tc = None if test_context is None else np.stack(
+            [stream_windows(test_context, i)[w] for i in range(C)])
+        got.append(pool.tick(ta if cfg.use_aud else None,
+                             tc if cfg.use_txt else None))
+    np.testing.assert_array_equal(np.stack(got, axis=1), want)
+
+
 def test_streaming_rejects_nonchaining():
     import zlib
 

@@ -299,3 +299,53 @@ def test_streaming_rawwav_matches_whole_clip():
     for w in range(W):
         got = sess.push_wav(wav[w], ctx[w])
         np.testing.assert_array_equal(got, want_codes[w])
+
+
+def test_streaming_rawwav_pool_matches_solo_sessions():
+    """StreamingRawWavPool (C raw streams, encoder batched, one program
+    per tick) must be bit-identical per stream to solo
+    StreamingRawWavSessions with the same seeds."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+    from qpgesture_tpu.serve import (StreamingRawWavPool,
+                                     StreamingRawWavSession)
+
+    rng = np.random.RandomState(72)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    C, W = 3, 2
+    wav = (rng.randn(C, W, 64000) * 3000).astype(np.int16)
+    ctx = rng.randn(C, W, 30, 384).astype(np.float32)
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          np.zeros((1, 64000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    init_codes = np.array([7, 11, 3], np.int32)
+    init_phases = rng.rand(C, 8, 16).astype(np.float32)
+
+    solo = []
+    for i in range(C):
+        sess = StreamingRawWavSession(
+            server, init_code=int(init_codes[i]),
+            init_phase=init_phases[i],
+            rng=np.random.RandomState(cfg.seed + i))
+        solo.append(np.stack([sess.push_wav(wav[i, w], ctx[i, w])
+                              for w in range(W)]))
+    want = np.stack(solo)  # (C, W, 30)
+
+    pool = StreamingRawWavPool(
+        server, C, init_codes=init_codes, init_phases=init_phases,
+        rngs=[np.random.RandomState(cfg.seed + i) for i in range(C)])
+    got = np.stack([pool.tick(wav[:, w], ctx[:, w]) for w in range(W)],
+                   axis=1)
+    np.testing.assert_array_equal(got, want)
