@@ -29,8 +29,10 @@ flops, tflops_effective, mfu_bf16_peak}; FLOPs are analytic for the
 matching phase (the Levenshtein Pallas kernel is integer VPU work XLA's
 cost model cannot see — reported as lev_gcells_per_s) and XLA
 cost_analysis for the train step / decoder. Also reported: batched
-serving, raw-pose GestureKNN batch, PAE phase extraction, VQ-VAE train
-step, and compile times. Synthetic seeded data at exactly the real tensor
+serving, fused raw-wav ingress (serve.RawWavServer — the e2e number that
+INCLUDES audio encoding, which the reference's quick-start excludes),
+raw-pose GestureKNN batch, PAE phase extraction, VQ-VAE train step, and
+compile times. Synthetic seeded data at exactly the real tensor
 shapes (no BEAT data ships with either repo); the engine is the one
 verified bit-exact against the reference implementation in
 tests/test_reference_cross.py.
@@ -281,6 +283,29 @@ def _bench_mode(mode, rng, J, W, bundle, codes, signature, decode, model,
     return out
 
 
+def _build_encoder(mode, n_samples=64000):
+    """Full-size JAX audio encoder (random weights — no checkpoints ship in
+    this environment; the compute is identical): WavLM-Large topology for
+    wavlm modes, vq-wav2vec for wavvq."""
+    import jax
+
+    if mode == "wavvq":
+        from qpgesture_tpu.models.vq_wav2vec import (VQWav2Vec,
+                                                     VQWav2VecConfig)
+        enc = VQWav2Vec(VQWav2VecConfig())
+    else:
+        from qpgesture_tpu.models.wavlm import WavLMJax, WavLMJaxConfig
+        enc = WavLMJax(WavLMJaxConfig())
+
+    wav0 = np.zeros((1, n_samples), np.float32)
+    params = enc.init(jax.random.PRNGKey(7), wav0)["params"]
+
+    def apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    return apply, params
+
+
 def _bench_train(rng, peak):
     """VQ-VAE training-step throughput at the reference envelope (batch 256
     of 240x135 windows, codebook.yml:35-49): e2e p50 of single synced steps
@@ -462,6 +487,28 @@ def main():
         results[mode] = _bench_mode(mode, rng, J, W, bundle, codes,
                                     signature, decode, model, params_d,
                                     cb_d, peak)
+    # raw-wav ingress runs in a SUBPROCESS per mode: the fused
+    # encoder+match+decode program is the largest XLA compile in the repo
+    # and relay-attached chips can stall or drop the compile RPC
+    # (STATUS.md 'relay flakiness'); isolation keeps one bad compile from
+    # sinking the whole bench. Warm caches make the happy path fast.
+    import subprocess
+    rawwav = {}
+    for mode in ("wavvq", "wavlm"):
+        print(f"benchmarking raw-wav ingress ({mode})...", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "examples", "rawwav_latency.py"), mode],
+                capture_output=True, text=True, timeout=1500)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")]
+            rawwav[mode] = json.loads(line[-1]) if line else {
+                "error": (proc.stderr.strip().splitlines() or ["no output"]
+                          )[-1][:200]}
+        except subprocess.TimeoutExpired:
+            rawwav[mode] = {"error": "timeout (relay compile stall)"}
     print("benchmarking vqvae train step...", file=sys.stderr)
     train = _bench_train(rng, peak)
     print("benchmarking raw-pose knn...", file=sys.stderr)
@@ -485,6 +532,7 @@ def main():
         "compile_cache_warm": cache_warm,
         "wavvq": results["wavvq"],
         "wavlm": results["wavlm"],
+        "rawwav": rawwav,
         "train_vqvae": train,
         "rawpose_knn_batch16": rawpose,
         "pae_extract": pae,

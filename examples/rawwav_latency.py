@@ -29,31 +29,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 
-from bench import _build_common, _stage_mode  # noqa: E402
+from bench import _build_common, _build_encoder, _stage_mode  # noqa: E402
 from qpgesture_tpu.core.config import VQVAEConfig  # noqa: E402
 from qpgesture_tpu.models.vqvae import VQVAE  # noqa: E402
 from qpgesture_tpu.serve import RawWavServer  # noqa: E402
 from qpgesture_tpu.utils import devtime  # noqa: E402
 
 J, W, N_SAMPLES = 1024, 6, 64000
-
-
-def build_encoder(mode):
-    if mode == "wavvq":
-        from qpgesture_tpu.models.vq_wav2vec import (VQWav2Vec,
-                                                     VQWav2VecConfig)
-        enc = VQWav2Vec(VQWav2VecConfig())
-    else:
-        from qpgesture_tpu.models.wavlm import WavLMJax, WavLMJaxConfig
-        enc = WavLMJax(WavLMJaxConfig())  # WavLM-Large topology
-
-    wav0 = np.zeros((1, N_SAMPLES), np.float32)
-    params = enc.init(jax.random.PRNGKey(7), wav0)["params"]
-
-    def apply(p, w):
-        return enc.apply({"params": p}, w)
-
-    return apply, params
 
 
 def run(mode: str) -> dict:
@@ -69,7 +51,7 @@ def run(mode: str) -> dict:
         params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
         jax.random.PRNGKey(1))
 
-    enc_apply, enc_params = build_encoder(mode)
+    enc_apply, enc_params = _build_encoder(mode, N_SAMPLES)
     server = RawWavServer(engine, model, params, cb, enc_apply, enc_params)
 
     wav = (rng.randn(W, N_SAMPLES) * 3000).astype(np.int16)
