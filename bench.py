@@ -492,9 +492,13 @@ def main():
     # and relay-attached chips can stall or drop the compile RPC
     # (STATUS.md 'relay flakiness'); isolation keeps one bad compile from
     # sinking the whole bench. Warm caches make the happy path fast.
+    # wavlm_split = RawWavServer(fused=False): the relay-robust serving
+    # point for the shipped mode (encoder and match+decode as two smaller
+    # programs); fused wavlm runs last since its compile is the one that
+    # stalls on an unlucky relay.
     import subprocess
     rawwav = {}
-    for mode in ("wavvq", "wavlm"):
+    for mode in ("wavvq", "wavlm_split", "wavlm"):
         print(f"benchmarking raw-wav ingress ({mode})...", file=sys.stderr)
         try:
             proc = subprocess.run(

@@ -9,7 +9,12 @@ compute is identical), speaker-10-scale database (1024 windows), 24 s clip
 the host link) and link-free device time (utils/devtime), plus XLA
 cost-analysis FLOPs for the fused program.
 
-    python examples/rawwav_latency.py [wavvq|wavlm] ...
+    python examples/rawwav_latency.py [wavvq|wavlm|wavvq_split|wavlm_split]
+
+The *_split variants measure RawWavServer(fused=False): encoder and
+match+decode as two dispatches (the relay-robust deployment point — the
+fused WavLM-Large program is the repo's largest XLA compile and the one
+relay-attached chips drop mid-RPC).
 """
 import json
 import os
@@ -39,10 +44,12 @@ J, W, N_SAMPLES = 1024, 6, 64000
 
 
 def run(mode: str) -> dict:
+    split = mode.endswith("_split")
+    base = mode[:-6] if split else mode
     rng = np.random.RandomState(0)
     bundle, codes, signature = _build_common(rng, J)
     cfg, db, engine, _, test_ctx_staged = _stage_mode(
-        mode, rng, J, W, bundle, codes, signature)
+        base, rng, J, W, bundle, codes, signature)
 
     vq_cfg = VQVAEConfig()
     model = VQVAE(vq_cfg)
@@ -51,8 +58,9 @@ def run(mode: str) -> dict:
         params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
         jax.random.PRNGKey(1))
 
-    enc_apply, enc_params = _build_encoder(mode, N_SAMPLES)
-    server = RawWavServer(engine, model, params, cb, enc_apply, enc_params)
+    enc_apply, enc_params = _build_encoder(base, N_SAMPLES)
+    server = RawWavServer(engine, model, params, cb, enc_apply, enc_params,
+                          fused=not split)
 
     wav = (rng.randn(W, N_SAMPLES) * 3000).astype(np.int16)
     ctx = rng.randn(W, 30, 384).astype(np.float32)
@@ -69,26 +77,56 @@ def run(mode: str) -> dict:
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
 
-    # device-only time + FLOPs of the fused program
+    # device-only time + FLOPs (fused: one program; split: encoder and
+    # match+decode measured separately and summed)
     S = server.n_steps
     Q = W * S
-    args = (params, cb, enc_params, jnp.asarray(wav), jnp.asarray(ctx),
-            jnp.asarray(np.int32(7)), jnp.zeros((8, 16), jnp.float32),
-            None, jnp.zeros((Q,), bool), jnp.zeros((Q,), jnp.int32),
-            jnp.zeros((Q, 8, 16), jnp.float32))
+    ic = jnp.asarray(np.int32(7))
+    ip = jnp.zeros((8, 16), jnp.float32)
+    rm = jnp.zeros((Q,), bool)
+    rc = jnp.zeros((Q,), jnp.int32)
+    rp = jnp.zeros((Q, 8, 16), jnp.float32)
+    wav_d = jnp.asarray(wav)
+    ctx_d = jnp.asarray(ctx)
+    extra = {}
+    if split:
+        def fn_enc(ep, w):
+            return server._enc_impl(ep, w)
 
-    def fn(*a):
-        return server._impl(*a)[0]
+        enc_s, _ = devtime.device_seconds_per_iter(
+            fn_enc, (enc_params, wav_d), k_small=1, k_large=3, reps=5)
+        ta_d = server._enc_impl(enc_params, wav_d)
+        margs = (params, cb, ta_d, ctx_d, ic, ip, None, rm, rc, rp)
 
-    dev_s, _ = devtime.device_seconds_per_iter(fn, args, k_small=1,
-                                               k_large=3, reps=5)
-    flops = devtime.cost_analysis_flops(server._impl, *args)
+        def fn_match(*a):
+            return server._match_impl(*a)[0]
+
+        match_s, _ = devtime.device_seconds_per_iter(
+            fn_match, margs, k_small=1, k_large=3, reps=5)
+        dev_s = enc_s + match_s
+        flops = ((devtime.cost_analysis_flops(server._enc_impl,
+                                              enc_params, wav_d) or 0)
+                 + (devtime.cost_analysis_flops(server._match_impl, *margs)
+                    or 0)) or None
+        extra = {"enc_ms": round(enc_s * 1e3, 2),
+                 "match_decode_ms": round(match_s * 1e3, 2)}
+    else:
+        args = (params, cb, enc_params, wav_d, ctx_d, ic, ip,
+                None, rm, rc, rp)
+
+        def fn(*a):
+            return server._impl(*a)[0]
+
+        dev_s, _ = devtime.device_seconds_per_iter(fn, args, k_small=1,
+                                                   k_large=3, reps=5)
+        flops = devtime.cost_analysis_flops(server._impl, *args)
     kind, peak = devtime.peak_flops_per_s()
     gest_s = W * 4.0
     out = {
         "mode": mode,
         "e2e_p50_ms": round(p50 * 1e3, 2),
         "device_ms": round(dev_s * 1e3, 2),
+        **extra,
         "gest_s_per_s": round(gest_s / p50, 1),
         "gest_s_per_device_s": round(gest_s / dev_s, 1) if dev_s > 0
         else None,

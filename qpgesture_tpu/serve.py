@@ -126,6 +126,16 @@ class RawWavServer:
     encoder_params: dict
     data_mean: Optional[np.ndarray] = None
     data_std: Optional[np.ndarray] = None
+    # fused=True runs encoder+staging+match+decode as ONE program (fewest
+    # dispatches; the repo's largest XLA compile — minutes for the
+    # WavLM-Large variant, and the compile RPC is what relay-attached
+    # chips drop). fused=False splits at the encoder/match boundary: two
+    # dispatches whose programs are each a fraction of the fused compile,
+    # and whose match+decode half is byte-identical HLO to the
+    # staged-serving path (warm from its persistent cache). Outputs are
+    # identical modulo XLA fusion across the boundary (tested); the
+    # intermediate features never leave HBM.
+    fused: bool = True
 
     def __post_init__(self):
         from .match.device_staging import (stage_context_jnp,
@@ -190,6 +200,49 @@ class RawWavServer:
 
         self._impl_batch = impl_batch
 
+        # ---- split-mode programs (fused=False); jit is lazy, so defining
+        # these costs nothing when unused ----
+        @jax.jit
+        def enc_impl(enc_params, wav):
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                return stage_wavvq_jnp(cfg, geom, enc)
+            return stage_wavlm_jnp(cfg, geom, enc)
+
+        self._enc_impl = enc_impl
+
+        @jax.jit
+        def match_impl(params, cb, ta, ctx, ic, ip, rb, rm, rc, rp):
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc, ic, ip, rb, rm, rc, rp)
+            W = blocks.shape[0] // n_steps
+            codes = blocks.reshape(
+                W, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            poses = model.decode(
+                params, cb, codes.reshape(1, -1).astype(jnp.int32))
+            return codes.astype(jnp.int32), poses[0], phases
+
+        self._match_impl = match_impl
+
+        @partial(jax.jit, static_argnames=("clips",))
+        def match_impl_batch(params, cb, ta, ctx, rb, rm, rc, rp, clips):
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc,
+                jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                rb, rm, rc, rp, clips=clips)
+            W = blocks.shape[0] // (clips * n_steps)
+            codes = blocks.reshape(
+                clips, W, n_steps * cfg.step_sz)[:, :, :cfg.num_frames_code]
+            poses = model.decode(
+                params, cb, codes.reshape(clips, -1).astype(jnp.int32))
+            return codes.astype(jnp.int32), poses
+
+        self._match_impl_batch = match_impl_batch
+
     def serve_batch(self, wav: np.ndarray,
                     test_context: Optional[np.ndarray] = None,
                     init_codes: Optional[np.ndarray] = None,
@@ -218,9 +271,14 @@ class RawWavServer:
         inputs = jax.device_put((wav_flat, ctx_flat, rand_bits, reset_mask,
                                  reset_code, reset_phase))
         wv, tc, rb, rm, rc, rp = inputs
-        codes_d, poses_d = self._impl_batch(
-            self.params, self.cb, self.encoder_params, wv, tc, rb, rm, rc,
-            rp, clips=C)
+        if self.fused:
+            codes_d, poses_d = self._impl_batch(
+                self.params, self.cb, self.encoder_params, wv, tc, rb, rm,
+                rc, rp, clips=C)
+        else:
+            ta = self._enc_impl(self.encoder_params, wv)
+            codes_d, poses_d = self._match_impl_batch(
+                self.params, self.cb, ta, tc, rb, rm, rc, rp, clips=C)
         codes, poses = jax.device_get((codes_d, poses_d))
         if self.data_mean is not None:
             std = np.clip(np.asarray(self.data_std), 0.01, None)
@@ -256,10 +314,16 @@ class RawWavServer:
         inputs = jax.device_put((wav, test_context, rand_np,
                                  rmask, rcode, rphase))
         wv, tc, rb, rm, rc, rp = inputs
-        codes_d, poses_d, _ = self._impl(
-            self.params, self.cb, self.encoder_params, wv, tc,
-            jnp.asarray(np.int32(init_code)), jnp.asarray(init_phase),
-            rb, rm, rc, rp)
+        ic = jnp.asarray(np.int32(init_code))
+        ip = jnp.asarray(init_phase)
+        if self.fused:
+            codes_d, poses_d, _ = self._impl(
+                self.params, self.cb, self.encoder_params, wv, tc,
+                ic, ip, rb, rm, rc, rp)
+        else:
+            ta = self._enc_impl(self.encoder_params, wv)
+            codes_d, poses_d, _ = self._match_impl(
+                self.params, self.cb, ta, tc, ic, ip, rb, rm, rc, rp)
         codes, poses = jax.device_get((codes_d, poses_d))
         if self.data_mean is not None:
             std = np.clip(np.asarray(self.data_std), 0.01, None)

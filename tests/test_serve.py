@@ -349,3 +349,47 @@ def test_streaming_rawwav_pool_matches_solo_sessions():
     got = np.stack([pool.tick(wav[:, w], ctx[:, w]) for w in range(W)],
                    axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_rawwav_server_split_mode_matches_fused():
+    """fused=False (two programs split at the encoder/match boundary, the
+    relay-robust deployment point) must select the same indices and poses
+    as the fused single program — bit-exact in wavvq mode, where the
+    encoder output is integer codes that XLA fusion cannot perturb."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+
+    rng = np.random.RandomState(48)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    C_CLIPS, W = 2, 2
+    wav = (rng.randn(C_CLIPS, W, 64000) * 3000).astype(np.int16)
+    ctx = rng.randn(C_CLIPS, W, 30, 384).astype(np.float32)
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          np.zeros((1, 64000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    fused = RawWavServer(engine, model, params, cb, encoder_apply,
+                         enc_params)
+    split = RawWavServer(engine, model, params, cb, encoder_apply,
+                         enc_params, fused=False)
+
+    codes_f, poses_f = fused.serve(wav[0], ctx[0], init_code=3,
+                                   rng=np.random.RandomState(cfg.seed))
+    codes_s, poses_s = split.serve(wav[0], ctx[0], init_code=3,
+                                   rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(codes_s, codes_f)
+    np.testing.assert_allclose(poses_s, poses_f, atol=1e-5)
+
+    ic = np.array([3, 5], np.int32)
+    bf_codes, _ = fused.serve_batch(wav, ctx, init_codes=ic)
+    bs_codes, _ = split.serve_batch(wav, ctx, init_codes=ic)
+    np.testing.assert_array_equal(bs_codes, bf_codes)
