@@ -489,7 +489,7 @@ class StreamingPool:
         dev, devdb = engine.dev, engine.devdb
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def tick(n_steps, ta, tc, codes, phases, rb):
+        def tick(n_steps, ta, tc, codes, phases, rb, active):
             C = codes.shape[0]
             rm, rc, rp = _pool_reset_inputs(n_steps, codes, phases)
             blocks, step_phases, _ = _predict_impl(
@@ -503,32 +503,73 @@ class StreamingPool:
             new_codes = out[:, -1].astype(jnp.int32)
             new_phases = step_phases.reshape(
                 (C, n_steps) + step_phases.shape[1:])[:, -1]
+            # idle streams (active=False) keep their seed state; their
+            # lane still computes (shapes are static) but the result is
+            # discarded by the caller
+            new_codes = jnp.where(active, new_codes, codes)
+            new_phases = jnp.where(active[:, None, None], new_phases,
+                                   phases)
             return out.astype(jnp.int32), new_phases, new_codes
 
         self._tick = tick
 
-    def _rand_bits(self, S):
-        if not self._needs_rand:
-            return None
-        return np.stack([(r.rand(S) > 0.5).astype(np.int32)
-                         for r in self.rngs]).reshape(-1)
+        @jax.jit
+        def reset(codes, phases, idx, code, phase):
+            return codes.at[idx].set(code), phases.at[idx].set(phase)
+
+        self._reset = reset
 
     def tick(self, test_audio: Optional[np.ndarray],
-             test_context: Optional[np.ndarray] = None) -> np.ndarray:
+             test_context: Optional[np.ndarray] = None,
+             active: Optional[np.ndarray] = None) -> np.ndarray:
         """One staged window PER STREAM in -> (C, 30) int32 codes out.
 
         test_audio: (C, S, ...) stage_test_audio output, one window per
-        stream; test_context: (C, S, 384). Seeds stay on device."""
+        stream; test_context: (C, S, 384). Seeds stay on device.
+        active: optional (C,) bool — streams marked False keep their seed
+        state unchanged (their row of the returned codes is meaningless);
+        pass it when only some streams have a new window this tick.
+        Inactive streams' rngs are NOT advanced (pass zero-filled rows
+        for their window slots)."""
         cfg = self.cfg
         lead = test_audio if test_audio is not None else test_context
         S = lead.shape[1]
-        rb = self._rand_bits(S)
+        if active is None:
+            active = np.ones((self.n_streams,), bool)
+        active = np.asarray(active, bool)
+        rb = None
+        if self._needs_rand:
+            rb = np.stack([
+                (self.rngs[i].rand(S) > 0.5).astype(np.int32) if active[i]
+                else np.zeros((S,), np.int32)
+                for i in range(self.n_streams)]).reshape(-1)
         ta = test_audio if cfg.use_aud else None
         tc = test_context if cfg.use_txt else None
-        ta, tc, rb = jax.device_put((ta, tc, rb))
+        ta, tc, rb, act = jax.device_put((ta, tc, rb, active))
         codes, self._phases_d, self._codes_d = self._tick(
-            S, ta, tc, self._codes_d, self._phases_d, rb)
+            S, ta, tc, self._codes_d, self._phases_d, rb, act)
         return np.asarray(codes)
+
+    def reset_stream(self, idx: int, init_code: Optional[int] = None,
+                     init_phase: Optional[np.ndarray] = None,
+                     rng: Optional[np.random.RandomState] = None):
+        """Re-seed stream idx in place (a client left and a new one joined
+        its slot). Draws oracle init seeds from `rng` (or the stream's
+        existing rng) when not given, exactly like construction."""
+        if rng is not None:
+            self.rngs[idx] = rng
+        if init_code is None:
+            from .match.oracle import CodeKNNOracle
+            init_code, got = CodeKNNOracle(
+                self.engine.db).init_code_phase(self.rngs[idx])
+            if init_phase is None:
+                init_phase = got
+        if init_phase is None:
+            init_phase = np.zeros((8, 16), np.float32)
+        self._codes_d, self._phases_d = self._reset(
+            self._codes_d, self._phases_d, jnp.int32(idx),
+            jnp.int32(init_code),
+            jnp.asarray(init_phase, jnp.float32))
 
     def state(self):
         """(seed_codes (C,), seed_phases (C, 8, 16)) on device."""
@@ -556,6 +597,7 @@ class StreamingRawWavPool:
             "streaming requires a window-chaining config; non-chaining "
             "modes (mfcc/raw presets) re-seed every window")
         self.server = server
+        self.engine = engine  # for the borrowed reset_stream
         self.cfg = cfg
         self.n_streams = n_streams
         self.rngs = rngs or [np.random.RandomState(cfg.seed + i)
@@ -573,7 +615,7 @@ class StreamingRawWavPool:
         self.n_steps = n_steps
 
         @jax.jit
-        def tick(enc_params, wav, ctx, codes, phases, rb):
+        def tick(enc_params, wav, ctx, codes, phases, rb, active):
             C = codes.shape[0]
             if jnp.issubdtype(wav.dtype, jnp.integer):
                 wav = wav.astype(jnp.float32) / 32768.0
@@ -593,25 +635,43 @@ class StreamingRawWavPool:
             new_codes = out[:, -1].astype(jnp.int32)
             new_phases = step_phases.reshape(
                 (C, n_steps) + step_phases.shape[1:])[:, -1]
+            new_codes = jnp.where(active, new_codes, codes)
+            new_phases = jnp.where(active[:, None, None], new_phases,
+                                   phases)
             return out.astype(jnp.int32), new_phases, new_codes
 
         self._tick = tick
 
+        @jax.jit
+        def reset(codes, phases, idx, code, phase):
+            return codes.at[idx].set(code), phases.at[idx].set(phase)
+
+        self._reset = reset
+
     def tick(self, wav: np.ndarray,
-             context: Optional[np.ndarray] = None) -> np.ndarray:
+             context: Optional[np.ndarray] = None,
+             active: Optional[np.ndarray] = None) -> np.ndarray:
         """One raw wav window PER STREAM: wav (C, n_samples) int16/f32
-        (+ (C, 30, 384) context when cfg.use_txt) -> (C, 30) codes."""
+        (+ (C, 30, 384) context when cfg.use_txt) -> (C, 30) codes.
+        active: optional (C,) bool, as in StreamingPool.tick."""
         cfg = self.cfg
+        if active is None:
+            active = np.ones((self.n_streams,), bool)
+        active = np.asarray(active, bool)
         rb = None
         if self._needs_rand:
-            rb = np.stack([(r.rand(self.n_steps) > 0.5).astype(np.int32)
-                           for r in self.rngs]).reshape(-1)
+            rb = np.stack([
+                (self.rngs[i].rand(self.n_steps) > 0.5).astype(np.int32)
+                if active[i] else np.zeros((self.n_steps,), np.int32)
+                for i in range(self.n_streams)]).reshape(-1)
         ctx = context if cfg.use_txt else None
-        wav, ctx, rb = jax.device_put((wav, ctx, rb))
+        wav, ctx, rb, act = jax.device_put((wav, ctx, rb, active))
         codes, self._phases_d, self._codes_d = self._tick(
             self.server.encoder_params, wav, ctx,
-            self._codes_d, self._phases_d, rb)
+            self._codes_d, self._phases_d, rb, act)
         return np.asarray(codes)
+
+    reset_stream = StreamingPool.reset_stream
 
     def state(self):
         """(seed_codes (C,), seed_phases (C, 8, 16)) on device."""

@@ -568,3 +568,71 @@ def test_shipped_fast_preset_is_shipped_plus_high_precision():
     want = dataclasses.replace(MATCH_PRESETS["shipped"],
                                cosine_precision="high")
     assert fast == want
+
+
+@pytest.mark.parametrize("preset", ["wavvq", "no_phase"])
+def test_streaming_pool_active_mask_and_reset(preset):
+    """Streams marked inactive in a tick keep their seed state (and their
+    rng position, for the rand-bit mode); reset_stream re-seeds one slot
+    in place. Both must leave every stream bit-equal to a solo session
+    that saw the same effective window sequence."""
+    import zlib
+
+    from qpgesture_tpu.serve import StreamingPool, StreamingSession
+    rng = np.random.RandomState(7900 + zlib.crc32(preset.encode()) % 1000)
+    fx = make_fixture(rng, n_seq=4, n_test=4, codebook=64)
+    cfg = MATCH_PRESETS[preset]
+    cfg = MatchConfig(**{**cfg.__dict__, "codebook_size": 64})
+    db, test_audio, test_context = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    C = 3
+
+    def win(x, w):
+        return None if x is None else x[w]
+
+    pool = StreamingPool(engine, C,
+                         rngs=[np.random.RandomState(cfg.seed + i)
+                               for i in range(C)])
+    zero_a = np.zeros_like(test_audio[0]) if test_audio is not None \
+        else None
+    zero_c = np.zeros_like(test_context[0]) if test_context is not None \
+        else None
+
+    def tick_windows(ws, active=None):
+        ta = None if test_audio is None else np.stack(
+            [win(test_audio, w) if w is not None else zero_a for w in ws])
+        tc = None if test_context is None else np.stack(
+            [win(test_context, w) if w is not None else zero_c
+             for w in ws])
+        return pool.tick(ta if cfg.use_aud else None,
+                         tc if cfg.use_txt else None, active=active)
+
+    # tick 1: all active on window 0; tick 2: stream 1 idle; tick 3: all
+    # active (stream 1 finally consumes window 1)
+    out1 = tick_windows([0, 0, 0])
+    out2 = tick_windows([1, None, 1], active=np.array([True, False, True]))
+    out3 = tick_windows([2, 1, 2])
+
+    # solo replay: streams 0/2 saw windows 0,1,2; stream 1 saw 0,1
+    for i, seq in ((0, [0, 1, 2]), (1, [0, 1]), (2, [0, 1, 2])):
+        sess = StreamingSession(engine,
+                                rng=np.random.RandomState(cfg.seed + i))
+        outs = [sess.push_window(
+            win(test_audio, w) if cfg.use_aud else None,
+            win(test_context, w) if cfg.use_txt else None) for w in seq]
+        picks = {0: [out1, out2, out3], 1: [out1, out3],
+                 2: [out1, out2, out3]}[i]
+        for got, want in zip(picks, outs):
+            np.testing.assert_array_equal(got[i], want)
+
+    # reset stream 2 and verify it restarts exactly like a fresh session
+    pool.reset_stream(2, init_code=9,
+                      init_phase=np.zeros((8, 16), np.float32),
+                      rng=np.random.RandomState(424))
+    out4 = tick_windows([3, 2, 0])
+    fresh = StreamingSession(engine, init_code=9,
+                             init_phase=np.zeros((8, 16), np.float32),
+                             rng=np.random.RandomState(424))
+    want = fresh.push_window(win(test_audio, 0) if cfg.use_aud else None,
+                             win(test_context, 0) if cfg.use_txt else None)
+    np.testing.assert_array_equal(out4[2], want)
