@@ -350,6 +350,13 @@ def test_streaming_rawwav_pool_matches_solo_sessions():
                    axis=1)
     np.testing.assert_array_equal(got, want)
 
+    # an all-inactive tick must leave every stream's seed state unchanged
+    codes_before, phases_before = map(np.asarray, pool.state())
+    pool.tick(wav[:, 0], ctx[:, 0], active=np.zeros((C,), bool))
+    codes_after, phases_after = map(np.asarray, pool.state())
+    np.testing.assert_array_equal(codes_after, codes_before)
+    np.testing.assert_array_equal(phases_after, phases_before)
+
 
 def test_rawwav_server_split_mode_matches_fused():
     """fused=False (two programs split at the encoder/match boundary, the
