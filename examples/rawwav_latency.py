@@ -90,26 +90,46 @@ def run(mode: str) -> dict:
     ctx_d = jnp.asarray(ctx)
     extra = {}
     if split:
-        def fn_enc(ep, w):
-            return server._enc_impl(ep, w)
+        from qpgesture_tpu.match.engine import _predict_impl
+
+        def fn_enc(ep, w, c):
+            return server._enc_impl(ep, w, c)
 
         enc_s, _ = devtime.device_seconds_per_iter(
-            fn_enc, (enc_params, wav_d), k_small=1, k_large=3, reps=5)
-        ta_d = server._enc_impl(enc_params, wav_d)
-        margs = (params, cb, ta_d, ctx_d, ic, ip, None, rm, rc, rp)
+            fn_enc, (enc_params, wav_d, ctx_d), k_small=1, k_large=3,
+            reps=5)
+        ta_d, tc_d = server._enc_impl(enc_params, wav_d, ctx_d)
 
-        def fn_match(*a):
-            return server._match_impl(*a)[0]
+        def fn_match(dev, devdb, ta, tc, ic, ip, rb, rm, rc, rp):
+            return _predict_impl(cfg, S, dev, devdb, ta, tc, ic, ip,
+                                 rb, rm, rc, rp)[0]
 
+        margs = (engine.dev, engine.devdb, ta_d, tc_d, ic, ip, None,
+                 rm, rc, rp)
         match_s, _ = devtime.device_seconds_per_iter(
             fn_match, margs, k_small=1, k_large=3, reps=5)
-        dev_s = enc_s + match_s
+
+        blocks = fn_match(*margs)
+        codes_d = server._extract_codes(blocks, clips=1)
+        dargs = (params, cb, codes_d.reshape(1, -1))
+
+        def fn_dec(*a):
+            return server._decode_impl(*a)
+
+        dec_s, _ = devtime.device_seconds_per_iter(
+            fn_dec, dargs, k_small=1, k_large=3, reps=5)
+        dev_s = enc_s + match_s + dec_s
         flops = ((devtime.cost_analysis_flops(server._enc_impl,
-                                              enc_params, wav_d) or 0)
-                 + (devtime.cost_analysis_flops(server._match_impl, *margs)
-                    or 0)) or None
+                                              enc_params, wav_d, ctx_d)
+                  or 0)
+                 + (devtime.cost_analysis_flops(_predict_impl, cfg, S,
+                                                *margs[:4], ic, ip, None,
+                                                rm, rc, rp) or 0)
+                 + (devtime.cost_analysis_flops(server._decode_impl,
+                                                *dargs) or 0)) or None
         extra = {"enc_ms": round(enc_s * 1e3, 2),
-                 "match_decode_ms": round(match_s * 1e3, 2)}
+                 "match_ms": round(match_s * 1e3, 2),
+                 "decode_ms": round(dec_s * 1e3, 2)}
     else:
         args = (params, cb, enc_params, wav_d, ctx_d, ic, ip,
                 None, rm, rc, rp)

@@ -201,47 +201,60 @@ class RawWavServer:
         self._impl_batch = impl_batch
 
         # ---- split-mode programs (fused=False); jit is lazy, so defining
-        # these costs nothing when unused ----
+        # these costs nothing when unused. The split mirrors the
+        # measured-and-kept program structure of the staged path (the
+        # match+decode fusion was REJECTED at full size — its combined
+        # compile exceeded 9 min through the relay, ARCHITECTURE.md):
+        # encoder+staging / _predict_impl / decode, where the latter two
+        # are byte-identical HLO to the staged-serving programs and come
+        # warm from their persistent cache. ----
         @jax.jit
-        def enc_impl(enc_params, wav):
+        def enc_impl(enc_params, wav, ctx):
             if jnp.issubdtype(wav.dtype, jnp.integer):
                 wav = wav.astype(jnp.float32) / 32768.0
             enc = encoder_apply(enc_params, wav)
             if cfg.audio_mode == "wavvq_feat":
-                return stage_wavvq_jnp(cfg, geom, enc)
-            return stage_wavlm_jnp(cfg, geom, enc)
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            return ta, tc
 
         self._enc_impl = enc_impl
 
-        @jax.jit
-        def match_impl(params, cb, ta, ctx, ic, ip, rb, rm, rc, rp):
-            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
-            blocks, phases, votes = _predict_impl(
-                cfg, n_steps, dev, devdb, ta, tc, ic, ip, rb, rm, rc, rp)
-            W = blocks.shape[0] // n_steps
-            codes = blocks.reshape(
-                W, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
-            poses = model.decode(
-                params, cb, codes.reshape(1, -1).astype(jnp.int32))
-            return codes.astype(jnp.int32), poses[0], phases
-
-        self._match_impl = match_impl
-
         @partial(jax.jit, static_argnames=("clips",))
-        def match_impl_batch(params, cb, ta, ctx, rb, rm, rc, rp, clips):
-            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
-            blocks, phases, votes = _predict_impl(
-                cfg, n_steps, dev, devdb, ta, tc,
-                jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
-                rb, rm, rc, rp, clips=clips)
-            W = blocks.shape[0] // (clips * n_steps)
+        def extract_codes(blocks, clips):
             codes = blocks.reshape(
-                clips, W, n_steps * cfg.step_sz)[:, :, :cfg.num_frames_code]
-            poses = model.decode(
-                params, cb, codes.reshape(clips, -1).astype(jnp.int32))
-            return codes.astype(jnp.int32), poses
+                clips, -1, n_steps * cfg.step_sz)[:, :,
+                                                  :cfg.num_frames_code]
+            return codes.astype(jnp.int32)
 
-        self._match_impl_batch = match_impl_batch
+        self._extract_codes = extract_codes
+
+        @jax.jit
+        def decode_impl(params, cb, z):
+            return model.decode(params, cb, z)
+
+        self._decode_impl = decode_impl
+
+    def _serve_split(self, wav_d, ctx_d, ic, ip, rb, rm, rc, rp, clips=1):
+        """Split-mode body: 4 dispatches (encoder+staging, cached match,
+        tiny code-extract, cached decode); intermediates stay in HBM."""
+        cfg = self.engine.cfg
+        ta, tc = self._enc_impl(self.encoder_params, wav_d, ctx_d)
+        if clips > 1:
+            blocks, phases, _ = _predict_impl(
+                cfg, self.n_steps, self.engine.dev, self.engine.devdb,
+                ta, tc, jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                rb, rm, rc, rp, clips=clips)
+        else:
+            blocks, phases, _ = _predict_impl(
+                cfg, self.n_steps, self.engine.dev, self.engine.devdb,
+                ta, tc, ic, ip, rb, rm, rc, rp)
+        codes = self._extract_codes(blocks, clips=clips)
+        poses = self._decode_impl(
+            self.params, self.cb, codes.reshape(clips, -1))
+        return codes, poses, phases
 
     def serve_batch(self, wav: np.ndarray,
                     test_context: Optional[np.ndarray] = None,
@@ -276,9 +289,8 @@ class RawWavServer:
                 self.params, self.cb, self.encoder_params, wv, tc, rb, rm,
                 rc, rp, clips=C)
         else:
-            ta = self._enc_impl(self.encoder_params, wv)
-            codes_d, poses_d = self._match_impl_batch(
-                self.params, self.cb, ta, tc, rb, rm, rc, rp, clips=C)
+            codes_d, poses_d, _ = self._serve_split(
+                wv, tc, None, None, rb, rm, rc, rp, clips=C)
         codes, poses = jax.device_get((codes_d, poses_d))
         if self.data_mean is not None:
             std = np.clip(np.asarray(self.data_std), 0.01, None)
@@ -321,9 +333,9 @@ class RawWavServer:
                 self.params, self.cb, self.encoder_params, wv, tc,
                 ic, ip, rb, rm, rc, rp)
         else:
-            ta = self._enc_impl(self.encoder_params, wv)
-            codes_d, poses_d, _ = self._match_impl(
-                self.params, self.cb, ta, tc, ic, ip, rb, rm, rc, rp)
+            codes_d, poses_d, _ = self._serve_split(
+                wv, tc, ic, ip, rb, rm, rc, rp)
+            codes_d, poses_d = codes_d[0], poses_d[0]
         codes, poses = jax.device_get((codes_d, poses_d))
         if self.data_mean is not None:
             std = np.clip(np.asarray(self.data_std), 0.01, None)
