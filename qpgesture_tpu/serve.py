@@ -600,7 +600,8 @@ class StreamingRawWavPool:
     def __init__(self, server: RawWavServer, n_streams: int,
                  init_codes: Optional[np.ndarray] = None,
                  init_phases: Optional[np.ndarray] = None,
-                 rngs: Optional[list] = None):
+                 rngs: Optional[list] = None,
+                 fused: bool = True):
         from .match.device_staging import (stage_context_jnp,
                                            stage_wavlm_jnp, stage_wavvq_jnp)
         engine = server.engine
@@ -611,6 +612,7 @@ class StreamingRawWavPool:
         self.server = server
         self.engine = engine  # for the borrowed reset_stream
         self.cfg = cfg
+        self.fused = fused
         self.n_streams = n_streams
         self.rngs = rngs or [np.random.RandomState(cfg.seed + i)
                              for i in range(n_streams)]
@@ -654,6 +656,43 @@ class StreamingRawWavPool:
 
         self._tick = tick
 
+        # split-mode (fused=False): encoder+staging program, then the
+        # SAME tick program the staged StreamingPool runs (shared warm
+        # cache; see RawWavServer fused=False for why)
+        @jax.jit
+        def enc_stage(enc_params, wav, ctx):
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            return ta, tc
+
+        self._enc_stage = enc_stage
+
+        @jax.jit
+        def staged_tick(ta, tc, codes, phases, rb, active):
+            C = codes.shape[0]
+            rm, rc, rp = _pool_reset_inputs(n_steps, codes, phases)
+            blocks, step_phases, _ = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc,
+                jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
+                rb, rm, rc, rp, clips=C)
+            out = blocks.reshape(
+                C, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            new_codes = out[:, -1].astype(jnp.int32)
+            new_phases = step_phases.reshape(
+                (C, n_steps) + step_phases.shape[1:])[:, -1]
+            new_codes = jnp.where(active, new_codes, codes)
+            new_phases = jnp.where(active[:, None, None], new_phases,
+                                   phases)
+            return out.astype(jnp.int32), new_phases, new_codes
+
+        self._staged_tick = staged_tick
+
         @jax.jit
         def reset(codes, phases, idx, code, phase):
             return codes.at[idx].set(code), phases.at[idx].set(phase)
@@ -678,9 +717,14 @@ class StreamingRawWavPool:
                 for i in range(self.n_streams)]).reshape(-1)
         ctx = context if cfg.use_txt else None
         wav, ctx, rb, act = jax.device_put((wav, ctx, rb, active))
-        codes, self._phases_d, self._codes_d = self._tick(
-            self.server.encoder_params, wav, ctx,
-            self._codes_d, self._phases_d, rb, act)
+        if self.fused:
+            codes, self._phases_d, self._codes_d = self._tick(
+                self.server.encoder_params, wav, ctx,
+                self._codes_d, self._phases_d, rb, act)
+        else:
+            ta, tc = self._enc_stage(self.server.encoder_params, wav, ctx)
+            codes, self._phases_d, self._codes_d = self._staged_tick(
+                ta, tc, self._codes_d, self._phases_d, rb, act)
         return np.asarray(codes)
 
     reset_stream = StreamingPool.reset_stream
@@ -707,7 +751,8 @@ class StreamingRawWavSession:
     def __init__(self, server: RawWavServer,
                  init_code: Optional[int] = None,
                  init_phase: Optional[np.ndarray] = None,
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 fused: bool = True):
         from .match.device_staging import (stage_context_jnp,
                                            stage_wavlm_jnp, stage_wavvq_jnp)
         engine = server.engine
@@ -717,6 +762,7 @@ class StreamingRawWavSession:
             "modes (mfcc/raw presets) re-seed every window")
         self.server = server
         self.cfg = cfg
+        self.fused = fused
         self.rng = rng or np.random.RandomState(cfg.seed)
         if init_code is None:
             from .match.oracle import CodeKNNOracle
@@ -756,6 +802,35 @@ class StreamingRawWavSession:
 
         self._step = step
 
+        # split-mode (fused=False) programs: encoder+staging, then the
+        # SAME per-window step program the staged StreamingSession runs
+        # (shared warm cache; see RawWavServer fused=False for why)
+        @jax.jit
+        def enc_stage(enc_params, wav, ctx):
+            if jnp.issubdtype(wav.dtype, jnp.integer):
+                wav = wav.astype(jnp.float32) / 32768.0
+            enc = encoder_apply(enc_params, wav)
+            if cfg.audio_mode == "wavvq_feat":
+                ta = stage_wavvq_jnp(cfg, geom, enc)
+            else:
+                ta = stage_wavlm_jnp(cfg, geom, enc)
+            tc = stage_context_jnp(geom, ctx) if cfg.use_txt else None
+            return ta, tc
+
+        self._enc_stage = enc_stage
+
+        @jax.jit
+        def staged_step(ta, tc, code, phase, rb):
+            blocks, phases, votes = _predict_impl(
+                cfg, n_steps, dev, devdb, ta, tc, code, phase, rb)
+            codes = blocks.reshape(
+                1, n_steps * cfg.step_sz)[:, :cfg.num_frames_code]
+            new_code = codes[0, -1].astype(jnp.int32)
+            new_phase = phases[-1]
+            return codes.astype(jnp.int32), new_phase, new_code
+
+        self._staged_step = staged_step
+
     def push_wav(self, wav_w: np.ndarray,
                  context_w: Optional[np.ndarray] = None) -> np.ndarray:
         """One raw wav window (n_samples,) int16/f32 (+ (30, 384) context
@@ -766,9 +841,14 @@ class StreamingRawWavSession:
             rb = (self.rng.rand(self.n_steps) > 0.5).astype(np.int32)
         ctx = context_w[None] if cfg.use_txt else None
         wav, ctx, rb = jax.device_put((wav_w[None], ctx, rb))
-        codes, self._phase_d, self._code_d = self._step(
-            self.server.encoder_params, wav, ctx,
-            self._code_d, self._phase_d, rb)
+        if self.fused:
+            codes, self._phase_d, self._code_d = self._step(
+                self.server.encoder_params, wav, ctx,
+                self._code_d, self._phase_d, rb)
+        else:
+            ta, tc = self._enc_stage(self.server.encoder_params, wav, ctx)
+            codes, self._phase_d, self._code_d = self._staged_step(
+                ta, tc, self._code_d, self._phase_d, rb)
         return np.asarray(codes)[0]
 
     def state(self):

@@ -400,3 +400,57 @@ def test_rawwav_server_split_mode_matches_fused():
     bf_codes, _ = fused.serve_batch(wav, ctx, init_codes=ic)
     bs_codes, _ = split.serve_batch(wav, ctx, init_codes=ic)
     np.testing.assert_array_equal(bs_codes, bf_codes)
+
+
+def test_streaming_rawwav_split_matches_fused():
+    """fused=False streaming (encoder program + the staged step/tick
+    programs) must match fused streaming bit-for-bit in wavvq mode, for
+    both the solo session and the pool."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+    from qpgesture_tpu.serve import (StreamingRawWavPool,
+                                     StreamingRawWavSession)
+
+    rng = np.random.RandomState(73)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    C, W = 2, 2
+    wav = (rng.randn(C, W, 64000) * 3000).astype(np.int16)
+    ctx = rng.randn(C, W, 30, 384).astype(np.float32)
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          np.zeros((1, 64000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    ipz = np.zeros((8, 16), np.float32)
+
+    sess_f = StreamingRawWavSession(server, init_code=7, init_phase=ipz,
+                                    rng=np.random.RandomState(cfg.seed))
+    sess_s = StreamingRawWavSession(server, init_code=7, init_phase=ipz,
+                                    rng=np.random.RandomState(cfg.seed),
+                                    fused=False)
+    for w in range(W):
+        np.testing.assert_array_equal(sess_s.push_wav(wav[0, w], ctx[0, w]),
+                                      sess_f.push_wav(wav[0, w], ctx[0, w]))
+
+    ic = np.array([7, 11], np.int32)
+    ips = np.zeros((C, 8, 16), np.float32)
+    pool_f = StreamingRawWavPool(
+        server, C, init_codes=ic, init_phases=ips,
+        rngs=[np.random.RandomState(cfg.seed + i) for i in range(C)])
+    pool_s = StreamingRawWavPool(
+        server, C, init_codes=ic, init_phases=ips,
+        rngs=[np.random.RandomState(cfg.seed + i) for i in range(C)],
+        fused=False)
+    for w in range(W):
+        np.testing.assert_array_equal(pool_s.tick(wav[:, w], ctx[:, w]),
+                                      pool_f.tick(wav[:, w], ctx[:, w]))
