@@ -105,4 +105,9 @@ if __name__ == "__main__":
     _, peak = devtime.peak_flops_per_s()
     for mode in ("wavvq", "wavlm"):
         for J in sizes:
-            print(json.dumps(run(mode, J, peak)), flush=True)
+            try:
+                print(json.dumps(run(mode, J, peak)), flush=True)
+            except Exception as e:  # e.g. HBM OOM at the largest wavlm J
+                msg = str(e).splitlines()[0][:200] if str(e) else repr(e)
+                print(json.dumps({"mode": mode, "J": J, "error": msg}),
+                      flush=True)

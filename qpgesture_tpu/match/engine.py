@@ -162,7 +162,7 @@ def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
 @dataclass
 class DeviceMatchDB:
     """Staged database tensors resident on device."""
-    aud_feat: Optional[jnp.ndarray]    # (J, B, D) f32 or (J, B, L) i32
+    aud_feat: Optional[jnp.ndarray]    # (J*B, D) f32 or (J, B, L) i32
     aud_codes: Optional[jnp.ndarray]   # (J, B) i32
     aud_blocks: Optional[jnp.ndarray]  # (J, B, step) i32
     aud_starts: Optional[jnp.ndarray]  # (B,) i32 phase window starts
@@ -189,15 +189,24 @@ def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
             aud_feat = jnp.asarray(db.aud_strings)
         else:
             # cosine modes: store the database side pre-normalized (see
-            # cosine_distance_prenorm)
-            aud_feat = _normalize_rows(jnp.asarray(db.aud_feat))
+            # cosine_distance_prenorm) and pre-FLATTENED to (J*B, D).
+            # Stored as (J, B, D) the tiled TPU layout pads the small B
+            # dim (1.2x) and the matching program materializes BOTH a
+            # layout copy of the parameter and the (J*B, D) reshape —
+            # two DB-sized HLO temps that capped wavlm databases at
+            # ~J=6k on a 16 GB chip (measured: J=8192 peaked 16.19 GB,
+            # of which 10.9 GB were these temps). Flat storage makes the
+            # in-program reshape an identity and leaves temp usage ~0.
+            flat = db.aud_feat.reshape(-1, db.aud_feat.shape[-1])
+            aud_feat = _normalize_rows(jnp.asarray(flat))
     return DeviceMatchDB(
         aud_feat=aud_feat,
         aud_codes=jnp.asarray(db.aud_codes) if cfg.use_aud else None,
         aud_blocks=jnp.asarray(db.aud_blocks) if cfg.use_aud else None,
         aud_starts=jnp.asarray(_phase_starts(db.aud_frames))
         if cfg.use_aud else None,
-        txt_feat=_normalize_rows(jnp.asarray(db.txt_feat))
+        txt_feat=_normalize_rows(jnp.asarray(
+            db.txt_feat.reshape(-1, db.txt_feat.shape[-1])))
         if cfg.use_txt else None,
         txt_codes=jnp.asarray(db.txt_codes) if cfg.use_txt else None,
         txt_blocks=jnp.asarray(db.txt_blocks) if cfg.use_txt else None,
