@@ -32,10 +32,14 @@ class ServingPipeline:
     def __post_init__(self):
         cfg = self.engine.cfg
         model = self.model
-        dev, devdb = self.engine.dev, self.engine.devdb
 
+        # closure-constants rule (ARCHITECTURE.md): the staged database
+        # must be a jit ARGUMENT, never a closure — closed over, it lowers
+        # as HLO constants and the compile request carries the whole DB
+        # (664 MB in wavlm mode; relay compiles hang outright)
         @partial(jax.jit, static_argnames=("n_steps",))
-        def impl(n_steps, params, cb, ta, tc, ic, ip, rb, rm, rc, rp):
+        def impl(n_steps, dev, devdb, params, cb, ta, tc, ic, ip, rb, rm,
+                 rc, rp):
             blocks, phases, votes = _predict_impl(
                 cfg, n_steps, dev, devdb,
                 ta if cfg.use_aud else None,
@@ -88,7 +92,8 @@ class ServingPipeline:
                                  rmask, rcode, rphase))
         ta, tc, rb, rm, rc, rp = inputs
         codes_d, poses_d, _ = self._impl(
-            S, self.params, self.cb, ta, tc,
+            S, self.engine.dev, self.engine.devdb, self.params, self.cb,
+            ta, tc,
             jnp.asarray(np.int32(init_code)), jnp.asarray(init_phase),
             rb, rm, rc, rp)
         codes, poses = jax.device_get((codes_d, poses_d))
@@ -149,13 +154,14 @@ class RawWavServer:
                 f"(use ServingPipeline with stage_test_audio)")
         geom = self.engine.db.geom
         model = self.model
-        dev, devdb = self.engine.dev, self.engine.devdb
         encoder_apply = self.encoder_apply
         n_steps = len(geom.step_clip_idx)
         self.n_steps = n_steps
 
+        # closure-constants rule: dev/devdb are jit ARGUMENTS throughout
         @jax.jit
-        def impl(params, cb, enc_params, wav, ctx, ic, ip, rb, rm, rc, rp):
+        def impl(dev, devdb, params, cb, enc_params, wav, ctx, ic, ip, rb,
+                 rm, rc, rp):
             if jnp.issubdtype(wav.dtype, jnp.integer):
                 wav = wav.astype(jnp.float32) / 32768.0
             enc = encoder_apply(enc_params, wav)
@@ -176,8 +182,8 @@ class RawWavServer:
         self._impl = impl
 
         @partial(jax.jit, static_argnames=("clips",))
-        def impl_batch(params, cb, enc_params, wav, ctx, rb, rm, rc, rp,
-                       clips):
+        def impl_batch(dev, devdb, params, cb, enc_params, wav, ctx, rb,
+                       rm, rc, rp, clips):
             if jnp.issubdtype(wav.dtype, jnp.integer):
                 wav = wav.astype(jnp.float32) / 32768.0
             enc = encoder_apply(enc_params, wav)
@@ -286,8 +292,8 @@ class RawWavServer:
         wv, tc, rb, rm, rc, rp = inputs
         if self.fused:
             codes_d, poses_d = self._impl_batch(
-                self.params, self.cb, self.encoder_params, wv, tc, rb, rm,
-                rc, rp, clips=C)
+                self.engine.dev, self.engine.devdb, self.params, self.cb,
+                self.encoder_params, wv, tc, rb, rm, rc, rp, clips=C)
         else:
             codes_d, poses_d, _ = self._serve_split(
                 wv, tc, None, None, rb, rm, rc, rp, clips=C)
@@ -330,8 +336,8 @@ class RawWavServer:
         ip = jnp.asarray(init_phase)
         if self.fused:
             codes_d, poses_d, _ = self._impl(
-                self.params, self.cb, self.encoder_params, wv, tc,
-                ic, ip, rb, rm, rc, rp)
+                self.engine.dev, self.engine.devdb, self.params, self.cb,
+                self.encoder_params, wv, tc, ic, ip, rb, rm, rc, rp)
         else:
             codes_d, poses_d, _ = self._serve_split(
                 wv, tc, ic, ip, rb, rm, rc, rp)
@@ -385,10 +391,10 @@ class StreamingSession:
             (np.int32(init_code), np.asarray(init_phase, np.float32)))
         self._needs_rand = (not cfg.use_phase and cfg.use_aud
                             and cfg.use_txt)
-        dev, devdb = engine.dev, engine.devdb
 
+        # closure-constants rule: dev/devdb are jit ARGUMENTS
         @partial(jax.jit, static_argnames=("n_steps",))
-        def step(n_steps, ta, tc, code, phase, rb):
+        def step(n_steps, dev, devdb, ta, tc, code, phase, rb):
             blocks, phases, votes = _predict_impl(
                 cfg, n_steps, dev, devdb,
                 ta if cfg.use_aud else None,
@@ -422,7 +428,8 @@ class StreamingSession:
         tc = test_context_w[None] if cfg.use_txt else None
         ta, tc, rb = jax.device_put((ta, tc, rb))
         codes, self._phase_d, self._code_d, _ = self._step(
-            S, ta, tc, self._code_d, self._phase_d, rb)
+            S, self.engine.dev, self.engine.devdb, ta, tc,
+            self._code_d, self._phase_d, rb)
         return np.asarray(codes)[0]
 
     def state(self):
@@ -498,10 +505,10 @@ class StreamingPool:
         self._codes_d, self._phases_d = jax.device_put((codes0, phases0))
         self._needs_rand = (not cfg.use_phase and cfg.use_aud
                             and cfg.use_txt)
-        dev, devdb = engine.dev, engine.devdb
 
+        # closure-constants rule: dev/devdb are jit ARGUMENTS
         @partial(jax.jit, static_argnames=("n_steps",))
-        def tick(n_steps, ta, tc, codes, phases, rb, active):
+        def tick(n_steps, dev, devdb, ta, tc, codes, phases, rb, active):
             C = codes.shape[0]
             rm, rc, rp = _pool_reset_inputs(n_steps, codes, phases)
             blocks, step_phases, _ = _predict_impl(
@@ -559,7 +566,8 @@ class StreamingPool:
         tc = test_context if cfg.use_txt else None
         ta, tc, rb, act = jax.device_put((ta, tc, rb, active))
         codes, self._phases_d, self._codes_d = self._tick(
-            S, ta, tc, self._codes_d, self._phases_d, rb, act)
+            S, self.engine.dev, self.engine.devdb, ta, tc,
+            self._codes_d, self._phases_d, rb, act)
         return np.asarray(codes)
 
     def reset_stream(self, idx: int, init_code: Optional[int] = None,
@@ -623,13 +631,13 @@ class StreamingRawWavPool:
         self._needs_rand = (not cfg.use_phase and cfg.use_aud
                             and cfg.use_txt)
         geom = engine.db.geom
-        dev, devdb = engine.dev, engine.devdb
         encoder_apply = server.encoder_apply
         n_steps = len(geom.step_clip_idx)
         self.n_steps = n_steps
 
         @jax.jit
-        def tick(enc_params, wav, ctx, codes, phases, rb, active):
+        def tick(dev, devdb, enc_params, wav, ctx, codes, phases, rb,
+                 active):
             C = codes.shape[0]
             if jnp.issubdtype(wav.dtype, jnp.integer):
                 wav = wav.astype(jnp.float32) / 32768.0
@@ -674,7 +682,7 @@ class StreamingRawWavPool:
         self._enc_stage = enc_stage
 
         @jax.jit
-        def staged_tick(ta, tc, codes, phases, rb, active):
+        def staged_tick(dev, devdb, ta, tc, codes, phases, rb, active):
             C = codes.shape[0]
             rm, rc, rp = _pool_reset_inputs(n_steps, codes, phases)
             blocks, step_phases, _ = _predict_impl(
@@ -717,14 +725,16 @@ class StreamingRawWavPool:
                 for i in range(self.n_streams)]).reshape(-1)
         ctx = context if cfg.use_txt else None
         wav, ctx, rb, act = jax.device_put((wav, ctx, rb, active))
+        dev, devdb = self.engine.dev, self.engine.devdb
         if self.fused:
             codes, self._phases_d, self._codes_d = self._tick(
-                self.server.encoder_params, wav, ctx,
+                dev, devdb, self.server.encoder_params, wav, ctx,
                 self._codes_d, self._phases_d, rb, act)
         else:
             ta, tc = self._enc_stage(self.server.encoder_params, wav, ctx)
             codes, self._phases_d, self._codes_d = self._staged_tick(
-                ta, tc, self._codes_d, self._phases_d, rb, act)
+                dev, devdb, ta, tc, self._codes_d, self._phases_d, rb,
+                act)
         return np.asarray(codes)
 
     reset_stream = StreamingPool.reset_stream
@@ -777,13 +787,12 @@ class StreamingRawWavSession:
         self._needs_rand = (not cfg.use_phase and cfg.use_aud
                             and cfg.use_txt)
         geom = engine.db.geom
-        dev, devdb = engine.dev, engine.devdb
         encoder_apply = server.encoder_apply
         n_steps = len(geom.step_clip_idx)
         self.n_steps = n_steps
 
         @jax.jit
-        def step(enc_params, wav, ctx, code, phase, rb):
+        def step(dev, devdb, enc_params, wav, ctx, code, phase, rb):
             if jnp.issubdtype(wav.dtype, jnp.integer):
                 wav = wav.astype(jnp.float32) / 32768.0
             enc = encoder_apply(enc_params, wav)
@@ -820,7 +829,7 @@ class StreamingRawWavSession:
         self._enc_stage = enc_stage
 
         @jax.jit
-        def staged_step(ta, tc, code, phase, rb):
+        def staged_step(dev, devdb, ta, tc, code, phase, rb):
             blocks, phases, votes = _predict_impl(
                 cfg, n_steps, dev, devdb, ta, tc, code, phase, rb)
             codes = blocks.reshape(
@@ -841,14 +850,16 @@ class StreamingRawWavSession:
             rb = (self.rng.rand(self.n_steps) > 0.5).astype(np.int32)
         ctx = context_w[None] if cfg.use_txt else None
         wav, ctx, rb = jax.device_put((wav_w[None], ctx, rb))
+        dev = self.server.engine.dev
+        devdb = self.server.engine.devdb
         if self.fused:
             codes, self._phase_d, self._code_d = self._step(
-                self.server.encoder_params, wav, ctx,
+                dev, devdb, self.server.encoder_params, wav, ctx,
                 self._code_d, self._phase_d, rb)
         else:
             ta, tc = self._enc_stage(self.server.encoder_params, wav, ctx)
             codes, self._phase_d, self._code_d = self._staged_step(
-                ta, tc, self._code_d, self._phase_d, rb)
+                dev, devdb, ta, tc, self._code_d, self._phase_d, rb)
         return np.asarray(codes)[0]
 
     def state(self):
