@@ -494,11 +494,14 @@ def main():
     # sinking the whole bench. Warm caches make the happy path fast.
     # wavlm_split = RawWavServer(fused=False): the relay-robust serving
     # point for the shipped mode (encoder and match+decode as two smaller
-    # programs); fused wavlm runs last since its compile is the one that
-    # stalls on an unlucky relay.
+    # programs). Fused wavlm is NOT probed by default: its compile was
+    # dropped by the relay twice at ~25 min (STATUS.md); set
+    # QPG_BENCH_RAWWAV_MODES to override (comma-separated).
     import subprocess
     rawwav = {}
-    for mode in ("wavvq", "wavlm_split", "wavlm"):
+    modes = tuple(os.environ.get("QPG_BENCH_RAWWAV_MODES",
+                                 "wavvq,wavlm_split").split(","))
+    for mode in modes:
         print(f"benchmarking raw-wav ingress ({mode})...", file=sys.stderr)
         try:
             proc = subprocess.run(
@@ -508,9 +511,14 @@ def main():
                 capture_output=True, text=True, timeout=1500)
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("{")]
-            rawwav[mode] = json.loads(line[-1]) if line else {
-                "error": (proc.stderr.strip().splitlines() or ["no output"]
-                          )[-1][:200]}
+            if line:
+                rawwav[mode] = json.loads(line[-1])
+            else:
+                errs = [ln for ln in proc.stderr.splitlines()
+                        if "Error" in ln or ln.startswith("jax.errors")]
+                msg = (errs or proc.stderr.strip().splitlines()
+                       or ["no output"])[-1]
+                rawwav[mode] = {"error": msg[:300]}
         except subprocess.TimeoutExpired:
             rawwav[mode] = {"error": "timeout (relay compile stall)"}
     print("benchmarking vqvae train step...", file=sys.stderr)

@@ -131,8 +131,8 @@ def run(mode: str) -> dict:
                  "match_ms": round(match_s * 1e3, 2),
                  "decode_ms": round(dec_s * 1e3, 2)}
     else:
-        args = (params, cb, enc_params, wav_d, ctx_d, ic, ip,
-                None, rm, rc, rp)
+        args = (engine.dev, engine.devdb, params, cb, enc_params, wav_d,
+                ctx_d, ic, ip, None, rm, rc, rp)
 
         def fn(*a):
             return server._impl(*a)[0]
