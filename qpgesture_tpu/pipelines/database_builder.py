@@ -236,12 +236,25 @@ def window_test_audio(wav: np.ndarray, n_frames: int = 240, fps: int = C.FPS,
                      for i in range(n_sub)]).astype(np.float32)
 
 
+def minilm_embed_fn(checkpoint_dir: str, device=None):
+    """Device-native MiniLM sentence embeddings (the preferred backend).
+
+    Runs the reference's paraphrase-MiniLM-L6-v2 stack
+    (make_beat_dataset.py:446-447) as a from-scratch JAX port
+    (models/minilm.py): host WordPiece tokenization + on-device BERT
+    encoder + mean pooling.  Needs the checkpoint *directory*
+    (config.json + vocab.txt + weights); returns texts->(n, 384)."""
+    from ..models.minilm import load_minilm
+    return load_minilm(checkpoint_dir, device=device)
+
+
 def sentence_transformer_embed_fn(model_name_or_path: str =
                                   "paraphrase-MiniLM-L6-v2",
                                   device: str = "cpu"):
-    """The reference's embedding model (make_beat_dataset.py:446-447),
-    when available locally (downloads are impossible in air-gapped
-    deployments; pass any texts->(n,384) callable instead).
+    """The reference's embedding model (make_beat_dataset.py:446-447) via
+    host torch — kept as the verification oracle for `minilm_embed_fn`
+    (downloads are impossible in air-gapped deployments; pass any
+    texts->(n,384) callable instead).
 
     Prefers the sentence-transformers package; falls back to a plain
     `transformers` implementation of the same module stack — the

@@ -349,6 +349,71 @@ class RawWavServer:
         return np.asarray(codes), np.asarray(poses)
 
 
+class TranscriptContextStager:
+    """Raw transcript in, per-window context embeddings out — the text
+    analog of RawWavServer's audio ingress.
+
+    The reference computes context embeddings offline with
+    sentence-transformers (make_txt_dataset, make_beat_dataset.py:432-580:
+    word->code-slot bucketing at :548-565, MiniLM at :446-447); at serve
+    time it can only consume precomputed context.  This stager runs the
+    same pipeline live: host word->slot bucketing (context_slots — the
+    identical function the database builder uses) + the device-native
+    MiniLM port (models/minilm.py) for the embeddings, so "transcript in,
+    context on device" needs no torch at serve time.
+
+    `embed_fn` is any texts->(n, 384) callable; pass a
+    `models.minilm.MiniLMEncoder` for the on-device path.  Identical slot
+    texts (common: ±3-slot joins repeat across neighbouring slots, and
+    silent stretches are all "") are embedded once per clip."""
+
+    def __init__(self, embed_fn, num_codes: int = 30,
+                 window_sec: float = 4.0, stride_time: int = 4,
+                 step_sz: int = 8):
+        self.embed_fn = embed_fn
+        self.num_codes = num_codes
+        self.window_sec = window_sec
+        self.stride_time = stride_time
+        self.step_sz = step_sz
+
+    def stage(self, words, n_windows: int) -> np.ndarray:
+        """words: [(start_s, end_s, word), ...]; -> (W, num_codes, D) f32
+        context, directly usable as `test_context` in ServingPipeline.serve
+        / RawWavServer.serve."""
+        from .pipelines.database_builder import context_slots
+        texts = []
+        for w in range(n_windows):
+            texts.extend(context_slots(
+                words, w * self.window_sec, (w + 1) * self.window_sec,
+                stride_time=self.stride_time, num_codes=self.num_codes,
+                step_sz=self.step_sz))
+        uniq: dict = {}
+        for t in texts:
+            if t not in uniq:
+                uniq[t] = len(uniq)
+        emb = np.asarray(self.embed_fn(list(uniq)), np.float32)
+        idx = np.asarray([uniq[t] for t in texts], np.int64)
+        return emb[idx].reshape(n_windows, self.num_codes, -1)
+
+    def stage_window(self, words, window_index: int) -> np.ndarray:
+        """One window for the streaming surfaces: -> (num_codes, D) f32
+        raw context (feed through stage_context_jnp / the raw-wav
+        sessions' ctx input for that window)."""
+        from .pipelines.database_builder import context_slots
+        texts = context_slots(
+            words, window_index * self.window_sec,
+            (window_index + 1) * self.window_sec,
+            stride_time=self.stride_time, num_codes=self.num_codes,
+            step_sz=self.step_sz)
+        uniq: dict = {}
+        for t in texts:
+            if t not in uniq:
+                uniq[t] = len(uniq)
+        emb = np.asarray(self.embed_fn(list(uniq)), np.float32)
+        idx = np.asarray([uniq[t] for t in texts], np.int64)
+        return emb[idx]
+
+
 class StreamingSession:
     """Incremental (live-audio) matching: one 4 s window per call, with the
     seed state persistent on device between calls.
@@ -609,7 +674,7 @@ class StreamingRawWavPool:
                  init_codes: Optional[np.ndarray] = None,
                  init_phases: Optional[np.ndarray] = None,
                  rngs: Optional[list] = None,
-                 fused: bool = True):
+                 fused: Optional[bool] = None):
         from .match.device_staging import (stage_context_jnp,
                                            stage_wavlm_jnp, stage_wavvq_jnp)
         engine = server.engine
@@ -620,7 +685,10 @@ class StreamingRawWavPool:
         self.server = server
         self.engine = engine  # for the borrowed reset_stream
         self.cfg = cfg
-        self.fused = fused
+        # None = inherit the server's deployment choice: a fused=False
+        # server (the relay-robust configuration) must not silently get
+        # fully-fused per-tick programs from its pools
+        self.fused = server.fused if fused is None else fused
         self.n_streams = n_streams
         self.rngs = rngs or [np.random.RandomState(cfg.seed + i)
                              for i in range(n_streams)]
@@ -762,7 +830,7 @@ class StreamingRawWavSession:
                  init_code: Optional[int] = None,
                  init_phase: Optional[np.ndarray] = None,
                  rng: Optional[np.random.RandomState] = None,
-                 fused: bool = True):
+                 fused: Optional[bool] = None):
         from .match.device_staging import (stage_context_jnp,
                                            stage_wavlm_jnp, stage_wavvq_jnp)
         engine = server.engine
@@ -772,7 +840,8 @@ class StreamingRawWavSession:
             "modes (mfcc/raw presets) re-seed every window")
         self.server = server
         self.cfg = cfg
-        self.fused = fused
+        # None = inherit server.fused (see StreamingRawWavPool)
+        self.fused = server.fused if fused is None else fused
         self.rng = rng or np.random.RandomState(cfg.seed)
         if init_code is None:
             from .match.oracle import CodeKNNOracle

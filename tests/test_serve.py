@@ -454,3 +454,142 @@ def test_streaming_rawwav_split_matches_fused():
     for w in range(W):
         np.testing.assert_array_equal(pool_s.tick(wav[:, w], ctx[:, w]),
                                       pool_f.tick(wav[:, w], ctx[:, w]))
+
+
+def test_streaming_rawwav_inherits_server_fused():
+    """Sessions/pools built without an explicit `fused` must inherit the
+    server's deployment choice: a fused=False RawWavServer (the
+    relay-robust configuration) must not silently get fully-fused per-push
+    programs from its streaming surfaces (jit is lazy — construction
+    compiles nothing, so this is a pure wiring test)."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+    from qpgesture_tpu.serve import (StreamingRawWavPool,
+                                     StreamingRawWavSession)
+
+    rng = np.random.RandomState(49)
+    fx = make_fixture(rng, n_seq=3, n_test=1, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    enc_params = enc.init(jax.random.PRNGKey(2),
+                          np.zeros((1, 64000), np.float32))["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    for server_fused in (True, False):
+        server = RawWavServer(engine, model, params, cb, encoder_apply,
+                              enc_params, fused=server_fused)
+        sess = StreamingRawWavSession(server, init_code=1)
+        pool = StreamingRawWavPool(server, 2)
+        assert sess.fused is server_fused
+        assert pool.fused is server_fused
+        # an explicit override still wins
+        assert StreamingRawWavSession(server, init_code=1,
+                                      fused=not server_fused
+                                      ).fused is not server_fused
+        assert StreamingRawWavPool(server, 2, fused=not server_fused
+                                   ).fused is not server_fused
+
+
+WORDS = [(0.2, 0.5, "hello"), (0.6, 1.1, "world"), (2.0, 2.4, "wave"),
+         (3.9, 4.2, "the"), (4.5, 5.0, "quick"), (6.5, 7.0, "fox")]
+
+
+def test_transcript_stager_matches_database_builder_slots():
+    """TranscriptContextStager.stage == embed(context_slots(...)) per
+    window — the exact context the database builder writes for the same
+    words (make_txt_dataset slot bucketing, make_beat_dataset.py:548-565) —
+    including through the identical-text dedup path."""
+    from qpgesture_tpu.pipelines.database_builder import (context_slots,
+                                                          hashed_embed_fn)
+    from qpgesture_tpu.serve import TranscriptContextStager
+
+    embed = hashed_embed_fn(dim=16)
+    stager = TranscriptContextStager(embed)
+    W = 2
+    got = stager.stage(WORDS, W)
+    assert got.shape == (W, 30, 16)
+    for w in range(W):
+        want = embed(context_slots(WORDS, w * 4.0, (w + 1) * 4.0))
+        np.testing.assert_array_equal(got[w], want)
+        np.testing.assert_array_equal(stager.stage_window(WORDS, w), want)
+
+
+def test_rawwav_serve_with_transcript_stager():
+    """A clip served with stager-built context == the same clip served
+    with the database-builder context for the same transcript ("raw
+    transcript in -> context on device" end to end)."""
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+    from qpgesture_tpu.pipelines.database_builder import (context_slots,
+                                                          hashed_embed_fn)
+    from qpgesture_tpu.serve import TranscriptContextStager
+
+    rng = np.random.RandomState(53)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = _stage(cfg, fx)
+    engine = CodeKNNEngine(cfg, db)
+    model, params, cb = _tiny_vqvae(rng, 32)
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    wav = rng.randn(2, 64000).astype(np.float32) * 0.1
+    enc_params = enc.init(jax.random.PRNGKey(2), wav[:1])["params"]
+
+    def encoder_apply(p, w):
+        return enc.apply({"params": p}, w)
+
+    embed = hashed_embed_fn()
+    ctx_manual = np.stack([embed(context_slots(WORDS, w * 4.0,
+                                               (w + 1) * 4.0))
+                           for w in range(2)])
+    ctx_staged = TranscriptContextStager(embed).stage(WORDS, 2)
+    np.testing.assert_array_equal(ctx_staged, ctx_manual)
+
+    server = RawWavServer(engine, model, params, cb, encoder_apply,
+                          enc_params)
+    want, _ = server.serve(wav, ctx_manual, init_code=3,
+                           rng=np.random.RandomState(cfg.seed))
+    got, _ = server.serve(wav, ctx_staged, init_code=3,
+                          rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_transcript_stager_with_device_minilm(tmp_path):
+    """Stager + the JAX MiniLM encoder == stager + the torch mean-pool
+    oracle on the same checkpoint: the serve-time context is bit-close to
+    what sentence-transformers would produce, computed on device."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from test_minilm import SMALL, _hf_model, _write_checkpoint
+    from qpgesture_tpu.models.minilm import load_minilm
+    from qpgesture_tpu.serve import TranscriptContextStager
+
+    torch.manual_seed(11)
+    tmodel = _hf_model(SMALL)
+    ckpt = str(tmp_path / "minilm")
+    _write_checkpoint(ckpt, tmodel)
+    enc = load_minilm(ckpt)
+
+    import os
+    hf_tok = transformers.BertTokenizer(os.path.join(ckpt, "vocab.txt"),
+                                        do_lower_case=True)
+
+    def torch_embed(texts):
+        with torch.no_grad():
+            b = hf_tok(texts, padding=True, truncation=True,
+                       max_length=SMALL.max_seq_length, return_tensors="pt")
+            h = tmodel(input_ids=b["input_ids"],
+                       attention_mask=b["attention_mask"]).last_hidden_state
+            m = b["attention_mask"][..., None].float()
+            return ((h * m).sum(1) / m.sum(1).clamp(min=1e-9)).numpy()
+
+    got = TranscriptContextStager(enc).stage(WORDS, 2)
+    want = TranscriptContextStager(torch_embed).stage(WORDS, 2)
+    assert got.shape == want.shape == (2, 30, SMALL.hidden_size)
+    np.testing.assert_allclose(got, want, atol=2e-5)
