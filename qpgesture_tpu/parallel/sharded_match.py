@@ -23,9 +23,9 @@ from jax.experimental.shard_map import shard_map
 from ..core.config import MatchConfig
 from ..match.database import MatchDatabase
 from ..match.engine import (DeviceTables, _phase_starts,
-                            cosine_distance_matrix, matmul_precision,
-                            segment_min_argmin, string_distance_matrix,
-                            tables_from_minargs)
+                            cosine_distance_matrix, cosine_distance_prenorm,
+                            matmul_precision, segment_min_argmin,
+                            string_distance_matrix, tables_from_minargs)
 from .mesh import DATA_AXIS, pad_to_multiple
 
 _BIG = np.int32(2 ** 30)
@@ -41,9 +41,15 @@ def _shard_reduce(cfg: MatchConfig, q, db_feat, db_codes, valid, axis: str,
     if is_strings:
         dist = string_distance_matrix(q, db_feat)
     else:
-        dist = cosine_distance_matrix(
-            q, db_feat.reshape(Js * B, db_feat.shape[-1]),
-            matmul_precision(precision))
+        flat = db_feat.reshape(Js * B, db_feat.shape[-1])
+        if flat.dtype != jnp.float32:
+            # low-precision residency (cfg.feat_dtype): the shard arrives
+            # pre-normalized + cast from sharded_candidate_reduce
+            dist = cosine_distance_prenorm(q, flat,
+                                           matmul_precision(precision))
+        else:
+            dist = cosine_distance_matrix(q, flat,
+                                          matmul_precision(precision))
     dist = jnp.where(valid.reshape(1, Js * B), dist, jnp.inf)
     seg = db_codes.reshape(-1)
     mins, args, matched = segment_min_argmin(
@@ -85,12 +91,28 @@ def _sharded_reduce_fn(cfg: MatchConfig, mesh: Mesh, is_strings: bool,
 def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
                              queries: np.ndarray, feat: np.ndarray,
                              codes: np.ndarray, is_strings: bool,
-                             precision: str = "highest"):
+                             precision: str = "highest",
+                             residency_dtype: str = "float32"):
     """queries: (Q, D) or (Q, L)/(Q, G, L) int strings; feat: (J, B, ...);
     codes: (J, B). Returns (mins (Q, K), args (Q, K) global flat index,
-    matched) with the J axis sharded across the mesh."""
+    matched) with the J axis sharded across the mesh.
+
+    residency_dtype: per-TENSOR HBM dtype — the audio caller passes
+    cfg.feat_dtype; the text side always stays f32 (matching
+    device_match_db's single-chip residency policy)."""
     n_dev = mesh.devices.size
     J, B = codes.shape
+    if not is_strings and residency_dtype != "float32":
+        # normalize rows in f32 on host (engine._l2_normalize semantics:
+        # zero rows stay zero) then cast — per-shard HBM residency halves,
+        # same as device_match_db's single-chip residency mode
+        import ml_dtypes
+        flat = feat.reshape(-1, feat.shape[-1]).astype(np.float32)
+        n = np.linalg.norm(flat, axis=-1, keepdims=True)
+        flat = flat / np.where(n > 0, n, 1.0)
+        feat = flat.reshape(feat.shape).astype(
+            {"bfloat16": ml_dtypes.bfloat16,
+             "float16": np.float16}[residency_dtype])
     feat_p, _ = pad_to_multiple(feat, n_dev)
     codes_p, _ = pad_to_multiple(codes, n_dev)
     valid = np.zeros((feat_p.shape[0], B), bool)
@@ -122,7 +144,8 @@ def build_sharded_tables(cfg: MatchConfig, db: MatchDatabase, mesh: Mesh,
             feat, is_str = db.aud_feat, False
         mins, args, matched = sharded_candidate_reduce(
             cfg, mesh, q, feat, db.aud_codes, is_str,
-            cfg.cosine_precision)
+            cfg.cosine_precision,
+            residency_dtype="float32" if is_str else cfg.feat_dtype)
         aud = tables_from_minargs(cfg, mins, args, matched,
                                   jnp.asarray(db.aud_blocks),
                                   jnp.asarray(_phase_starts(db.aud_frames)))

@@ -9,7 +9,8 @@ import jax
 
 from qpgesture_tpu.cli import main as cli_main
 from qpgesture_tpu.core.config import VQVAEConfig, load_config
-from qpgesture_tpu.core.schemas import (load_result, save_codes, save_wavvq)
+from qpgesture_tpu.core.schemas import (load_result, save_codes,
+                                        save_wavlm, save_wavvq)
 from qpgesture_tpu.models.vqvae import VQVAE, save_vqvae_native
 from qpgesture_tpu.motion.bvh import parse_bvh
 from qpgesture_tpu.motion.pipeline import MotionPipeline
@@ -191,4 +192,78 @@ def test_cli_warmup_streams(tmp_path, rng, capsys):
               "--streams", "4"])
     out = capsys.readouterr().out
     assert "streams C=4: first tick" in out
-    assert "4-stream pool" in out
+    assert "solo stream: first push" in out
+    assert "4-stream pool + solo session" in out
+
+
+def test_cli_warmup_serving_and_rawpose(tmp_path, rng, capsys):
+    """--serving warms the fused ServingPipeline program and
+    --rawpose-batch warms the K-vmapped raw-pose search (the programs
+    ADVICE r3 / VERDICT r3 flagged as cold)."""
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    db_path = str(tmp_path / "train_txt.npz")
+    fx["bundle"].save(db_path)
+    codes_path = str(tmp_path / "train_code.npz")
+    save_codes(codes_path, fx["codes"])
+    sig_path = str(tmp_path / "code.npz")
+    fx["signature"].save(sig_path)
+    wavvq_path = str(tmp_path / "train_wavvq.npz")
+    save_wavvq(wavvq_path, fx["wavvq"])
+
+    cli_main(["warmup",
+              "--train-database", db_path,
+              "--train-codebook", codes_path,
+              "--codebook-signature", sig_path,
+              "--train-wavvq", wavvq_path,
+              "--preset", "wavvq",
+              "--buckets", "1",
+              "--decode", "--serving",
+              "--rawpose-batch", "2"])
+    out = capsys.readouterr().out
+    assert "fused serving" in out
+    assert "raw-pose batch C=2: first call" in out
+
+
+def test_cli_match_feat_dtype_and_sharded_flags(tmp_path, rng):
+    """--feat-dtype plumbs residency into the staged DB; --sharded always
+    routes through predict_sharded (auto stays single-device on CPU where
+    no capacity is reported). The wavlm preset exercises the cosine path
+    the knob targets."""
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    db_path = str(tmp_path / "train_txt.npz")
+    fx["bundle"].save(db_path)
+    codes_path = str(tmp_path / "train_code.npz")
+    save_codes(codes_path, fx["codes"])
+    sig_path = str(tmp_path / "code.npz")
+    fx["signature"].save(sig_path)
+    wavlm_path = str(tmp_path / "train_wavlm.npz")
+    save_wavlm(wavlm_path, fx["wavlm"])
+    test_wavlm_path = str(tmp_path / "test_wavlm.npz")
+    save_wavlm(test_wavlm_path, fx["test_wavlm"])
+    test_bundle_path = str(tmp_path / "test_txt.npz")
+    import dataclasses
+    test_bundle = dataclasses.replace(
+        fx["bundle"],
+        context=rng.randn(2, 30, 1, 384).astype(np.float32))
+    test_bundle.save(test_bundle_path)
+
+    base = ["match",
+            "--train-database", db_path,
+            "--train-codebook", codes_path,
+            "--codebook-signature", sig_path,
+            "--train-wavlm", wavlm_path,
+            "--test-wavlm", test_wavlm_path,
+            "--test-data", test_bundle_path,
+            "--preset", "shipped"]
+    out_a = str(tmp_path / "res_a.npz")
+    cli_main(base + ["--feat-dtype", "float16", "--out", out_a])
+    res_a = load_result(out_a)
+    assert res_a.shape == (2, 30)
+
+    out_b = str(tmp_path / "res_b.npz")
+    cli_main(base + ["--sharded", "always", "--out", out_b])
+    res_b = load_result(out_b)
+    out_c = str(tmp_path / "res_c.npz")
+    cli_main(base + ["--sharded", "never", "--out", out_c])
+    # sharded is bit-identical to single-device at f32
+    np.testing.assert_array_equal(res_b, load_result(out_c))

@@ -636,3 +636,63 @@ def test_streaming_pool_active_mask_and_reset(preset):
     want = fresh.push_window(win(test_audio, 0) if cfg.use_aud else None,
                              win(test_context, 0) if cfg.use_txt else None)
     np.testing.assert_array_equal(out4[2], want)
+
+
+@pytest.mark.parametrize("feat_dtype", ["bfloat16", "float16"])
+def test_feat_dtype_residency(feat_dtype):
+    """Low-precision feature-DB residency (cfg.feat_dtype): the resident
+    audio features are stored in the requested dtype, the program runs end
+    to end, and distances stay within the dtype's rounding envelope of the
+    f32 engine (index parity is an empirical per-database question — the
+    knob exists to run whole-corpus wavlm databases on one 16 GB chip)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from qpgesture_tpu.match.engine import device_match_db
+
+    rng = np.random.RandomState(77)
+    fx = make_fixture(rng, n_seq=5, n_test=2, codebook=48)
+    cfg32 = MatchConfig(**{**MATCH_PRESETS["shipped"].__dict__,
+                           "codebook_size": 48})
+    cfg_lp = dataclasses.replace(cfg32, feat_dtype=feat_dtype)
+    db, test_audio, test_context = _stage(cfg32, fx)
+
+    devdb = device_match_db(cfg_lp, db)
+    assert devdb.aud_feat.dtype == jnp.dtype(feat_dtype)
+    assert devdb.txt_feat.dtype == jnp.float32  # text side stays f32
+
+    t32 = build_device_tables(cfg32, db, test_audio, test_context)
+    tlp = build_device_tables(cfg_lp, db, test_audio, test_context)
+    # ranks are a permutation of 0..K-1 either way; the low-precision ranks
+    # must be a *mostly identical* permutation on well-separated fixtures
+    a32 = np.asarray(t32.aud_rank)
+    alp = np.asarray(tlp.aud_rank)
+    assert a32.shape == alp.shape
+    agree = (a32 == alp).mean()
+    assert agree > 0.9, f"{feat_dtype} rank agreement {agree:.3f}"
+    # text side is untouched -> bit-equal
+    np.testing.assert_array_equal(np.asarray(t32.txt_rank),
+                                  np.asarray(tlp.txt_rank))
+
+    # end-to-end predict runs and emits valid codes
+    engine = CodeKNNEngine(cfg_lp, db)
+    res = engine.predict(test_audio, test_context,
+                         rng=np.random.RandomState(cfg_lp.seed))
+    assert res.codes.shape == (2, 30)
+    assert res.codes.min() >= 0 and res.codes.max() < 48
+
+
+def test_feat_dtype_wavvq_mode_unaffected():
+    """wavvq strings are int32 — feat_dtype must be a no-op there
+    (bit-identical codes to the f32-config engine)."""
+    import dataclasses
+    rng = np.random.RandomState(78)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=48)
+    cfg = MatchConfig(**{**MATCH_PRESETS["wavvq"].__dict__,
+                         "codebook_size": 48})
+    db, ta, tc = _stage(cfg, fx)
+    want = CodeKNNEngine(cfg, db).predict(
+        ta, tc, rng=np.random.RandomState(cfg.seed))
+    cfg_lp = dataclasses.replace(cfg, feat_dtype="bfloat16")
+    got = CodeKNNEngine(cfg_lp, db).predict(
+        ta, tc, rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(want.codes, got.codes)

@@ -171,3 +171,33 @@ def test_predict_batch_sharded_matches_single():
                                        rng=np.random.RandomState(cfg.seed))
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w.codes, g.codes)
+
+
+def test_sharded_feat_dtype_matches_single_device():
+    """Low-precision residency through the sharded path: sharded tables
+    with cfg.feat_dtype == the single-device engine's tables at the same
+    dtype (both sides round features to the dtype; host vs jnp
+    normalization may differ in the last f32 ulp, so compare ranks with a
+    tiny tolerance band via exact-match fraction)."""
+    import dataclasses
+    rng = np.random.RandomState(91)
+    fx = make_fixture(rng, n_seq=6, n_test=2, codebook=64)
+    cfg = MatchConfig(**{**MATCH_PRESETS["shipped"].__dict__,
+                         "codebook_size": 64, "feat_dtype": "float16"})
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                        wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+    test_audio = stage_test_audio(cfg, db, wavlm=fx["test_wavlm"],
+                                  wavvq=fx["test_wavvq"])
+    test_context = stage_test_context(db, fx["test_context"])
+    single = build_device_tables(cfg, db, test_audio, test_context)
+    sharded = build_sharded_tables(cfg, db, make_mesh(8), test_audio,
+                                   test_context)
+    for name in ("aud_rank", "aud_block", "aud_seq", "aud_start"):
+        a = np.asarray(getattr(single, name))
+        b = np.asarray(getattr(sharded, name))
+        agree = (a == b).mean()
+        assert agree > 0.99, f"{name} agreement {agree:.4f}"
+    for name in ("txt_rank", "txt_block", "txt_seq", "txt_start"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(single, name)),
+            np.asarray(getattr(sharded, name)), err_msg=name)
