@@ -539,9 +539,26 @@ def cmd_build_db(args):
     """Database construction for a new speaker (make_beat_dataset steps 1-4
     equivalent): (BVH, wav[, transcript]) recordings -> per-split window
     bundles + stats + pipeline snapshot (+ codes / wavvq / phases when the
-    corresponding checkpoints are supplied)."""
+    corresponding checkpoints are supplied).
+
+    --dataset trinity instead builds the Trinity/GENEA2020 TRAINING stores
+    (trinity_data_to_lmdb.py equivalent) from --trn-path/--val-path."""
     import glob
     import os
+
+    if getattr(args, "dataset", "beat") == "trinity":
+        from .pipelines.trinity import build_trinity_dataset
+        if not (args.trn_path and args.val_path):
+            raise SystemExit("--dataset trinity needs --trn-path and "
+                             "--val-path (each holding Motion/ Audio/ "
+                             "Transcripts/)")
+        os.makedirs(args.out, exist_ok=True)
+        paths = build_trinity_dataset(args.trn_path, args.val_path,
+                                      mode=args.mode, fps=args.fps,
+                                      out_dir=args.out)
+        for k, v in paths.items():
+            print(f"wrote {k}: {v}")
+        return
 
     from .core.config import VQVAEConfig, load_config
     from .motion.bvh import parse_bvh
@@ -552,6 +569,9 @@ def cmd_build_db(args):
     from .pipelines.transcripts import read_tab_transcript
     from .train.data import dataset_stats
 
+    if not (args.bvh_dir and args.wav_dir):
+        raise SystemExit("--bvh-dir and --wav-dir are required for the "
+                         "BEAT builder (--dataset beat)")
     os.makedirs(args.out, exist_ok=True)
     bvh_files = sorted(glob.glob(os.path.join(args.bvh_dir, "*.bvh")))
     assert bvh_files, f"no .bvh files in {args.bvh_dir}"
@@ -1039,9 +1059,20 @@ def main(argv=None):
 
     bd = sub.add_parser("build-db", help="build a speaker database from "
                         "(BVH, wav, transcript) recordings")
-    bd.add_argument("--bvh-dir", required=True)
-    bd.add_argument("--wav-dir", required=True)
+    bd.add_argument("--dataset", default="beat",
+                    choices=["beat", "trinity"],
+                    help="'trinity' = Trinity/GENEA2020 training-store "
+                         "builder (trinity_data_to_lmdb.py equivalent; "
+                         "uses --trn-path/--val-path/--mode)")
+    bd.add_argument("--bvh-dir")
+    bd.add_argument("--wav-dir")
     bd.add_argument("--transcript-dir")
+    bd.add_argument("--trn-path", help="trinity: training split dir "
+                                       "(Motion/ Audio/ Transcripts/)")
+    bd.add_argument("--val-path", help="trinity: test split dir")
+    bd.add_argument("--mode", default="rotation",
+                    choices=["rotation", "position"],
+                    help="trinity: pose parameterization")
     bd.add_argument("--out", required=True)
     bd.add_argument("--prefix", default="speaker")
     bd.add_argument("--fps", type=int, default=60)

@@ -94,9 +94,44 @@ class GeneratorGRU(nn.Module):
             if train and layer < self.layers - 1 and self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         out = x[..., :self.hidden] + x[..., self.hidden:]  # sum directions
-        out = nn.LayerNorm(name="norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(out)  # torch eps
         logits = nn.Dense(self.output, name="out")(out)    # (B, 30, 512)
 
+        loss = None
+        if targets is not None:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, targets[..., None].astype(jnp.int32), axis=-1)
+            loss = jnp.mean(nll)
+        return logits, loss
+
+    def sample(self, variables, wav: jnp.ndarray) -> jnp.ndarray:
+        logits, _ = self.apply(variables, wav, train=False)
+        return jnp.argmax(logits, axis=-1)
+
+
+class GeneratorLinear(nn.Module):
+    """Legacy linear variant (Generator_linear, generate.py:34-60):
+    WavEncoder -> LayerNorm -> bias-free Linear(512) per code slot; CE
+    loss; sample() takes the per-slot argmax (its softmax+top1 is argmax).
+
+    The reference's remaining generate.py content — the Seq2Seq attention
+    decoder (generate.py:69-309) — is vendored tutorial code with no call
+    sites anywhere in the reference (its EncoderRNN/Generator are never
+    constructed); it is deliberately NOT ported (COMPONENTS.md §2.3)."""
+    output: int = C.CODEBOOK_SIZE
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray,
+                 targets: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        x = WavEncoder(name="wav_encoder")(wav, train=train)
+        # torch LayerNorm eps (1e-5, vs flax 1e-6): the encoder
+        # output variance here is ~1e-4, where the eps gap alone shifts
+        # normalized values by ~4%
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        logits = nn.Dense(self.output, use_bias=False,
+                          name="project")(x)         # (B, 30, 512)
         loss = None
         if targets is not None:
             logp = jax.nn.log_softmax(logits, axis=-1)

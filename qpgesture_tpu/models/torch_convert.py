@@ -211,6 +211,27 @@ def convert_generator_gru(state_dict: Dict, hidden: int = 200,
     return {"params": params, "batch_stats": stats}
 
 
+def convert_generator_linear(state_dict: Dict) -> Dict:
+    """Reference Generator_linear state_dict (generate.py:34-60) -> flax
+    variables for models.gru_baseline.GeneratorLinear: WavEncoder convs +
+    BN, LayerNorm(32), bias-free projection Linear(32, 512)."""
+    sd = strip_prefix(state_dict)
+    enc_p: Dict = {}
+    enc_s: Dict = {}
+    for i, k in enumerate([0, 3, 6, 9]):
+        enc_p[f"conv{i}"] = conv1d(sd, f"WavEncoder.feat_extractor.{k}")
+        p, st = _batchnorm(sd, f"WavEncoder.feat_extractor.{k + 1}")
+        enc_p[f"bn{i}"], enc_s[f"bn{i}"] = p, st
+    enc_p["conv4"] = conv1d(sd, "WavEncoder.feat_extractor.12")
+    params = {
+        "wav_encoder": enc_p,
+        "norm": {"scale": _np(sd["norm.weight"]),
+                 "bias": _np(sd["norm.bias"])},
+        "project": {"kernel": _np(sd["project.weight"]).T},
+    }
+    return {"params": params, "batch_stats": {"wav_encoder": enc_s}}
+
+
 def load_generator_gru_checkpoint(path: str):
     ckpt = _torch_load_reference(path)
     sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt

@@ -59,6 +59,19 @@ def normalize_word(word: str) -> str:
                    if ch.isalnum() or ch == "'").strip()
 
 
+def normalize_string(s: str) -> str:
+    """Exact port of the reference's normalize_string
+    (process/utils/data_utils.py:5-12, used by the Trinity builder):
+    lowercase/trim, isolate , . ! ? with spaces, REMOVE apostrophes
+    (shouldn't -> shouldnt), squash every other character to whitespace."""
+    import re
+    s = s.lower().strip()
+    s = re.sub(r"([,.!?])", r" \1 ", s)
+    s = re.sub(r"(['])", r"", s)
+    s = re.sub(r"[^a-zA-Z0-9,.!?]+", r" ", s)
+    return re.sub(r"\s+", r" ", s).strip()
+
+
 class GentleUnavailable(RuntimeError):
     """Raised when no gentle backend (HTTP server or CLI) is configured or
     reachable; callers treat alignment as skippable (the reference requires

@@ -227,3 +227,58 @@ def test_world_pitch_reference_contract(rng):
     assert np.isfinite(p).all()
     # voiced log-f0 around log(150) ~ 5.01
     assert np.median(p[8:-8]) == pytest.approx(np.log(150.0), abs=0.15)
+
+
+def test_generator_linear_conversion(rng):
+    """GeneratorLinear vs a torch-built Generator_linear
+    (generate.py:34-60): LayerNorm BEFORE the bias-free projection."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    from qpgesture_tpu.models.gru_baseline import GeneratorLinear
+    from qpgesture_tpu.models.torch_convert import convert_generator_linear
+
+    class TWavEncoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feat_extractor = tnn.Sequential(
+                tnn.Conv1d(1, 8, 16, stride=3), tnn.BatchNorm1d(8),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(8, 16, 16, stride=3), tnn.BatchNorm1d(16),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(16, 32, 16, stride=6), tnn.BatchNorm1d(32),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(32, 64, 16, stride=6), tnn.BatchNorm1d(64),
+                tnn.LeakyReLU(0.3, inplace=True),
+                tnn.Conv1d(64, 32, 16, stride=6))
+
+        def forward(self, wav):
+            return self.feat_extractor(wav.unsqueeze(1)).transpose(1, 2)
+
+    class TGenLinear(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.WavEncoder = TWavEncoder()
+            self.project = tnn.Linear(32, 512, bias=False)
+            self.norm = tnn.LayerNorm(32)
+
+        def forward(self, x):
+            f = self.norm(self.WavEncoder(x))
+            return self.project(f)
+
+    torch.manual_seed(9)
+    tmodel = TGenLinear().eval()
+    variables = convert_generator_linear(tmodel.state_dict())
+    model = GeneratorLinear(output=512)
+    wav = rng.randn(2, 64000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(wav)).numpy()
+    got, _ = model.apply(variables, jnp.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+    # CE loss + argmax sample paths run
+    targets = rng.randint(0, 512, size=(2, 30))
+    _, loss = model.apply(variables, jnp.asarray(wav),
+                          jnp.asarray(targets), train=False)
+    assert np.isfinite(float(loss))
+    codes = model.sample(variables, jnp.asarray(wav))
+    want_codes = want.argmax(-1)
+    np.testing.assert_array_equal(np.asarray(codes), want_codes)
