@@ -76,6 +76,15 @@ def post_eval(args):
             val_wins.append(p[s:s + 240])
     val_wins = np.stack(val_wins).astype(np.float32)[:64]
 
+    # feature-space FGD (the paper's FGD-feat protocol): train the
+    # embedding net on the ground-truth validation windows once, score
+    # every checkpoint's reconstructions in its feature space
+    from qpgesture_tpu.render.fgd_extractor import (fgd_encoder_fn,
+                                                    train_fgd_extractor)
+    fe_model, fe_params, fe_mean, fe_std = train_fgd_extractor(
+        val_wins, epochs=10, batch_size=32, log=lambda s: None)
+    feat_enc = fgd_encoder_fn(fe_model, fe_params, fe_mean, fe_std)
+
     trainer = VQVAETrainer(VQVAEConfig(), TrainConfig())
     template = trainer.init_state(jax.random.PRNGKey(0))
     fwd = jax.jit(lambda p, c, x: trainer.model.forward(
@@ -90,7 +99,9 @@ def post_eval(args):
             "checkpoint": name, "step": int(state.step),
             "hellinger": round(float(hellinger_velocity(
                 recon.reshape(-1, 135), val_wins.reshape(-1, 135))), 4),
-            "fgd": round(float(fgd(recon, val_wins)), 3)})
+            "fgd": round(float(fgd(recon, val_wins)), 3),
+            "fgd_feature": round(float(fgd(recon, val_wins,
+                                           encoder=feat_enc)), 4)})
         print(json.dumps(rows[-1]), flush=True)
     path = os.path.join(args.out, "self_eval.json")
     with open(path, "w") as f:

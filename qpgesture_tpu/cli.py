@@ -397,8 +397,55 @@ def cmd_evaluate(args):
             zs = np.asarray(enc(params, cb, jnp.asarray(w)))
             return zs.reshape(zs.shape[0], -1).astype(np.float64)
 
-        out["fgd_feature"] = round(fgd(wg, wr, encoder=encoder), 4)
+        out["fgd_vqvae_latent" if args.fgd_extractor else "fgd_feature"] \
+            = round(fgd(wg, wr, encoder=encoder), 4)
+
+    if args.fgd_extractor:
+        # the paper's protocol (FGD-feat, BASELINE.md 19.921): a dedicated
+        # motion autoencoder trained on ground truth (train-fgd CLI)
+        from .render.fgd_extractor import fgd_encoder_fn, load_fgd_extractor
+        model, params, mean, std = load_fgd_extractor(args.fgd_extractor)
+        enc = fgd_encoder_fn(model, params, mean, std)
+        if wg.shape[1] != model.cfg.window:
+            raise SystemExit(
+                f"--window {wg.shape[1]} != extractor window "
+                f"{model.cfg.window}; pass --window {model.cfg.window}")
+        out["fgd_feature"] = round(fgd(wg, wr, encoder=enc), 4)
     print(json.dumps(out))
+
+
+def cmd_train_fgd(args):
+    """Train the feature-space FGD extractor on ground-truth motion (the
+    Yoon et al. embedding-net protocol; the reference repo has no metric
+    code at all — SURVEY §5)."""
+    from .render.fgd_extractor import (FGDExtractorConfig,
+                                       save_fgd_extractor,
+                                       train_fgd_extractor)
+
+    def load_windows(path):
+        if os.path.isdir(path):
+            from .train.data import WindowedDataset
+            return WindowedDataset.load(path).poses
+        data = np.load(path, allow_pickle=True)
+        if isinstance(data, np.ndarray):
+            return data
+        for key in ("body", "poses", "motion"):
+            if key in data.files:
+                return data[key]
+        raise SystemExit(f"{path}: no body/poses/motion array")
+
+    wins = load_windows(args.data)
+    if wins.ndim == 2:
+        n = (wins.shape[0] // args.window) * args.window
+        wins = wins[:n].reshape(-1, args.window, wins.shape[-1])
+    cfg = FGDExtractorConfig(channels=wins.shape[-1], window=wins.shape[1],
+                             latent=args.latent)
+    model, params, mean, std = train_fgd_extractor(
+        wins, cfg, epochs=args.epochs, batch_size=args.batch_size,
+        seed=args.seed)
+    save_fgd_extractor(args.out, cfg, params, mean, std)
+    print(f"wrote {args.out}: latent={cfg.latent} window={cfg.window} "
+          f"({wins.shape[0]} training windows)")
 
 
 def cmd_bench(args):
@@ -1025,8 +1072,25 @@ def main(argv=None):
     ev.add_argument("--reference", required=True)
     ev.add_argument("--window", type=int, default=240)
     ev.add_argument("--vqvae-checkpoint")
+    ev.add_argument("--fgd-extractor",
+                    help="trained FGD feature extractor (train-fgd CLI) "
+                         "for the paper's feature-space FGD")
     ev.add_argument("--config")
     ev.set_defaults(fn=cmd_evaluate)
+
+    tf = sub.add_parser("train-fgd",
+                        help="train the feature-space FGD extractor")
+    tf.add_argument("--data", required=True,
+                    help="ground-truth windows: npz with body/poses, .npy, "
+                         "or a WindowedDataset dir")
+    tf.add_argument("--out", required=True)
+    tf.add_argument("--window", type=int, default=240,
+                    help="window length when --data holds flat (T, C)")
+    tf.add_argument("--latent", type=int, default=32)
+    tf.add_argument("--epochs", type=int, default=20)
+    tf.add_argument("--batch-size", type=int, default=64)
+    tf.add_argument("--seed", type=int, default=0)
+    tf.set_defaults(fn=cmd_train_fgd)
 
     tv = sub.add_parser("train-vqvae", help="train the gesture VQ-VAE")
     tv.add_argument("--config", required=True)

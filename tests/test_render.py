@@ -1,4 +1,5 @@
 """Decode/render + metrics + prosody tests."""
+import os
 import sys
 
 import numpy as np
@@ -142,3 +143,72 @@ def test_mel_bank_matches_librosa_if_available():
     want = librosa.filters.mel(sr=16000, n_fft=1024, n_mels=80, fmin=80,
                                fmax=7600)
     np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_fgd_extractor_train_save_load(tmp_path, rng):
+    """Feature-space FGD end to end: train the extractor on GT windows,
+    save/load the checkpoint byte-exactly, and verify the metric's
+    discrimination property — FGD(GT, GT-like) << FGD(GT, corrupted)."""
+    from qpgesture_tpu.render.fgd_extractor import (FGDExtractorConfig,
+                                                    fgd_encoder_fn,
+                                                    load_fgd_extractor,
+                                                    save_fgd_extractor,
+                                                    train_fgd_extractor)
+
+    T, C = 48, 18
+    # structured GT: smooth sinusoids with per-window phase/freq variation
+    def make(n, noise=0.0, seed=0):
+        r = np.random.RandomState(seed)
+        t = np.arange(T)[None, :, None] / T
+        freq = r.uniform(1, 3, size=(n, 1, C))
+        phase = r.uniform(0, 2 * np.pi, size=(n, 1, C))
+        w = np.sin(2 * np.pi * freq * t + phase).astype(np.float32)
+        return w + noise * r.randn(n, T, C).astype(np.float32)
+
+    gt = make(96, seed=1)
+    cfg = FGDExtractorConfig(channels=C, window=T, width=16, latent=8)
+    model, params, mean, std = train_fgd_extractor(
+        gt, cfg, epochs=8, batch_size=32, log=lambda s: None)
+
+    ckpt = str(tmp_path / "fgd.msgpack")
+    save_fgd_extractor(ckpt, cfg, params, mean, std)
+    model2, params2, mean2, std2 = load_fgd_extractor(ckpt)
+    enc = fgd_encoder_fn(model, params, mean, std)
+    enc2 = fgd_encoder_fn(model2, params2, mean2, std2)
+    probe = make(8, seed=5)
+    np.testing.assert_array_equal(enc(probe), enc2(probe))
+    assert enc(probe).shape == (8, 8)
+
+    like = make(64, noise=0.02, seed=2)
+    corrupt = make(64, noise=1.5, seed=3)
+    d_like = fgd(like, gt, encoder=enc)
+    d_corrupt = fgd(corrupt, gt, encoder=enc)
+    assert d_like < d_corrupt / 5, (d_like, d_corrupt)
+
+
+def test_train_fgd_and_evaluate_cli(tmp_path, rng):
+    from qpgesture_tpu.cli import main as cli_main
+    import json as _json
+
+    T, C = 32, 9
+    gt = rng.randn(40 * T, C).astype(np.float32).cumsum(0) * 0.01
+    np.save(str(tmp_path / "gt.npy"), gt)
+    gen = gt + rng.randn(*gt.shape).astype(np.float32) * 0.005
+    np.save(str(tmp_path / "gen.npy"), gen)
+
+    ckpt = str(tmp_path / "fgd.msgpack")
+    cli_main(["train-fgd", "--data", str(tmp_path / "gt.npy"),
+              "--out", ckpt, "--window", str(T), "--latent", "8",
+              "--epochs", "2", "--batch-size", "16"])
+    assert os.path.exists(ckpt)
+
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["evaluate", "--generated", str(tmp_path / "gen.npy"),
+                  "--reference", str(tmp_path / "gt.npy"),
+                  "--window", str(T), "--fgd-extractor", ckpt])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "fgd_feature" in out and out["fgd_feature"] >= 0
+    assert "fgd_raw" in out
