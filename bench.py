@@ -532,7 +532,7 @@ def main():
     batched = head.pop("batched_16clip", None)
     if batched is not None:
         head["batched_16clip"] = batched
-    print(json.dumps({
+    out = {
         "metric": "gesture_seconds_matched_per_wall_second",
         "value": head["gest_s_per_s"],
         "unit": "gesture-s/s",
@@ -548,7 +548,88 @@ def main():
         "train_vqvae": train,
         "rawpose_knn_batch16": rawpose,
         "pae_extract": pae,
-    }))
+    }
+    print(json.dumps(out))
+
+    check = os.environ.get("QPG_BENCH_CHECK")
+    if "--check" in sys.argv:
+        check = sys.argv[sys.argv.index("--check") + 1]
+    if check:
+        bad = check_regressions(out, load_snapshot(check))
+        for line in bad:
+            print(f"REGRESSION: {line}", file=sys.stderr)
+        if bad:
+            sys.exit(1)
+        print(f"no device-time regressions vs {check}", file=sys.stderr)
+
+
+# ---- regression guard (VERDICT r3 #8): perf protected by CI, not only the
+# driver snapshot. `python bench.py --check BENCH_r03.json` (or env
+# QPG_BENCH_CHECK=...) exits 1 when a device-time metric regresses more
+# than REGRESSION_FACTOR vs the snapshot. ------------------------------------
+
+REGRESSION_FACTOR = float(os.environ.get("QPG_BENCH_CHECK_FACTOR", "1.2"))
+
+_REGRESSION_KEYS = (
+    ("wavvq.device.device_ms", ("wavvq", "device", "device_ms")),
+    ("wavvq.device.tables_ms", ("wavvq", "device", "tables_ms")),
+    ("wavvq.device.fuse_scan_ms", ("wavvq", "device", "fuse_scan_ms")),
+    ("wavlm.device.device_ms", ("wavlm", "device", "device_ms")),
+    ("wavlm.device.tables_ms", ("wavlm", "device", "tables_ms")),
+    ("rawwav.wavvq.device_ms", ("rawwav", "wavvq", "device_ms")),
+    ("rawwav.wavlm_split.device_ms",
+     ("rawwav", "wavlm_split", "device_ms")),
+    ("train_vqvae.device_ms_per_step",
+     ("train_vqvae", "device_ms_per_step")),
+)
+
+
+def _dig(d, path):
+    for k in path:
+        if not isinstance(d, dict) or k not in d:
+            return None
+        d = d[k]
+    return d if isinstance(d, (int, float)) else None
+
+
+def load_snapshot(path: str) -> dict:
+    """Accepts either a raw bench JSON line or a driver BENCH_r{N}.json
+    wrapper ({'tail': '...last stdout...'} — the JSON line is inside)."""
+    with open(path) as f:
+        obj = json.load(f)
+    if "metric" in obj:
+        return obj
+    if obj.get("parsed"):
+        return obj["parsed"]
+    tail = obj.get("tail", "").strip()
+    start = tail.rfind('{"metric"')
+    if start >= 0:
+        return json.loads(tail[start:])
+    # the driver records only the LAST N bytes of stdout, so the line's
+    # head may be clipped mid-key. Re-anchor at the first complete
+    # `"key":` boundary and rebuild a parseable object — the clipped
+    # leading keys are lost, but the nested sections the regression
+    # check reads (wavvq/wavlm/rawwav/train_vqvae) sit later in the line.
+    line = tail.splitlines()[-1] if tail else ""
+    cut = line.find(', "')
+    if cut < 0:
+        raise ValueError(f"{path}: no bench JSON found")
+    return json.loads("{" + line[cut + 2:])
+
+
+def check_regressions(current: dict, snapshot: dict,
+                      factor: float = None) -> list:
+    factor = factor or REGRESSION_FACTOR
+    bad = []
+    for name, path in _REGRESSION_KEYS:
+        ref = _dig(snapshot, path)
+        cur = _dig(current, path)
+        if ref is None or cur is None or ref <= 0:
+            continue
+        if cur > ref * factor:
+            bad.append(f"{name}: {cur:.3f} ms vs snapshot {ref:.3f} ms "
+                       f"(>{factor:.2f}x)")
+    return bad
 
 
 if __name__ == "__main__":

@@ -303,6 +303,52 @@ class RawWavServer:
             poses = poses * std + np.asarray(self.data_mean)
         return np.asarray(codes), np.asarray(poses)
 
+    def serve_sharded(self, mesh, wav: np.ndarray,
+                      test_context: Optional[np.ndarray] = None,
+                      init_code: int = 0,
+                      init_phase: Optional[np.ndarray] = None,
+                      rng: Optional[np.random.RandomState] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Split-mode raw-wav serving with DB-sharded matching: the
+        encoder+staging program runs as in fused=False, the candidate
+        scoring shards the J axis over `mesh` (tie-preserving pmin), the
+        fusion scan and decode run replicated. Same codes as serve() with
+        the same rng — the multi-chip raw-wav surface for databases past
+        one chip's HBM (exercised by dryrun_multichip)."""
+        from .match.engine import _fuse_scan
+        from .parallel.sharded_match import build_sharded_tables
+        cfg = self.engine.cfg
+        rng = rng or np.random.RandomState(cfg.seed)
+        W = wav.shape[0]
+        S = self.n_steps
+        if init_phase is None:
+            init_phase = np.zeros((8, 16), np.float32)
+        Q = W * S
+        rand_np, (rmask, rcode, rphase) = self.engine._chain_inputs(W, S,
+                                                                    rng)
+        ta, tc = self._enc_impl(self.encoder_params, jnp.asarray(wav),
+                                jnp.asarray(test_context)
+                                if test_context is not None else None)
+        tables = build_sharded_tables(
+            cfg, self.engine.db, mesh,
+            np.asarray(ta) if cfg.use_aud else None,
+            np.asarray(tc) if cfg.use_txt else None)
+        rb = jnp.asarray(rand_np) if rand_np is not None else None
+        reset = tuple(jnp.asarray(r) if r is not None else None
+                      for r in (rmask, rcode, rphase))
+        blocks, phases, _ = _fuse_scan(
+            cfg, S, self.engine.dev, tables,
+            jnp.asarray(np.int32(init_code)),
+            jnp.asarray(init_phase, jnp.float32), rb, *reset)
+        codes_d = self._extract_codes(blocks, clips=1)
+        poses_d = self._decode_impl(self.params, self.cb,
+                                    codes_d.reshape(1, -1))
+        codes, poses = jax.device_get((codes_d[0], poses_d[0]))
+        if self.data_mean is not None:
+            std = np.clip(np.asarray(self.data_std), 0.01, None)
+            poses = poses * std + np.asarray(self.data_mean)
+        return np.asarray(codes), np.asarray(poses)
+
     def serve(self, wav: np.ndarray,
               test_context: Optional[np.ndarray] = None,
               init_code: int = 0,
@@ -634,6 +680,47 @@ class StreamingPool:
             S, self.engine.dev, self.engine.devdb, ta, tc,
             self._codes_d, self._phases_d, rb, act)
         return np.asarray(codes)
+
+    def tick_sharded(self, mesh, test_audio: Optional[np.ndarray],
+                     test_context: Optional[np.ndarray] = None,
+                     active: Optional[np.ndarray] = None) -> np.ndarray:
+        """tick() with DB-sharded candidate scoring: the O(DB) distance
+        work shards the J axis over `mesh` (build_sharded_tables' tie-
+        preserving pmin) and the per-clip fusion runs replicated — the
+        multi-chip streaming surface for databases past one chip's HBM.
+        Bit-identical to tick() with the same inputs (dryrun_multichip
+        checks this on the virtual mesh); the carried seed state is shared
+        with tick(), so the two can interleave."""
+        from .parallel.sharded_match import build_sharded_tables
+        from .match.engine import _fuse_scan_clips
+        cfg = self.cfg
+        lead = test_audio if test_audio is not None else test_context
+        C, S = lead.shape[:2]
+        if active is None:
+            active = np.ones((self.n_streams,), bool)
+        active = np.asarray(active, bool)
+        rb = None
+        if self._needs_rand:
+            rb = jnp.asarray(np.stack([
+                (self.rngs[i].rand(S) > 0.5).astype(np.int32) if active[i]
+                else np.zeros((S,), np.int32)
+                for i in range(self.n_streams)]).reshape(-1))
+        tables = build_sharded_tables(
+            cfg, self.engine.db, mesh,
+            np.asarray(test_audio) if cfg.use_aud else None,
+            np.asarray(test_context) if cfg.use_txt else None)
+        rm, rc, rp = _pool_reset_inputs(S, self._codes_d, self._phases_d)
+        blocks, step_phases, _ = _fuse_scan_clips(
+            cfg, S, C, self.engine.dev, tables, rb, rm, rc, rp)
+        out = blocks.reshape(C, S * cfg.step_sz)[:, :cfg.num_frames_code]
+        new_codes = out[:, -1].astype(jnp.int32)
+        new_phases = step_phases.reshape(
+            (C, S) + step_phases.shape[1:])[:, -1]
+        act = jnp.asarray(active)
+        self._codes_d = jnp.where(act, new_codes, self._codes_d)
+        self._phases_d = jnp.where(act[:, None, None], new_phases,
+                                   self._phases_d)
+        return np.asarray(out.astype(jnp.int32))
 
     def reset_stream(self, idx: int, init_code: Optional[int] = None,
                      init_phase: Optional[np.ndarray] = None,

@@ -143,3 +143,45 @@ def test_train_vqvae_resume(tmp_path, rng):
                     jax.tree_util.tree_leaves(resumed.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     assert int(resumed.step) == int(full.step) == 8
+
+
+def test_bench_regression_guard(tmp_path):
+    """bench.py --check snapshot parsing + regression detection: accepts
+    raw bench JSON, driver wrappers, and the driver's CLIPPED-head tails
+    (BENCH_r{N}.json records only the last bytes of stdout)."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import check_regressions, load_snapshot
+
+    inner = {"metric": "m", "wavvq": {"device": {"device_ms": 3.0,
+                                                 "tables_ms": 1.0}},
+             "train_vqvae": {"device_ms_per_step": 100.0}}
+    raw = tmp_path / "raw.json"
+    raw.write_text(json.dumps(inner))
+    assert load_snapshot(str(raw))["wavvq"]["device"]["device_ms"] == 3.0
+
+    wrapped = tmp_path / "wrap.json"
+    wrapped.write_text(json.dumps({"rc": 0,
+                                   "tail": "noise\n" + json.dumps(inner)}))
+    assert load_snapshot(str(wrapped))["train_vqvae"][
+        "device_ms_per_step"] == 100.0
+
+    # clipped head (driver tail truncation): line starts mid-key
+    clipped = tmp_path / "clip.json"
+    full = json.dumps(inner)
+    clipped.write_text(json.dumps({"rc": 0, "tail": full[12:]}))
+    snap = load_snapshot(str(clipped))
+    assert snap["wavvq"]["device"]["device_ms"] == 3.0
+
+    # the shipped round-3 snapshot parses
+    snap3 = load_snapshot("/root/repo/BENCH_r03.json")
+    assert snap3["wavvq"]["device"]["device_ms"] > 0
+
+    ok = {"wavvq": {"device": {"device_ms": 3.1, "tables_ms": 1.1}},
+          "train_vqvae": {"device_ms_per_step": 105.0}}
+    assert check_regressions(ok, inner) == []
+    slow = {"wavvq": {"device": {"device_ms": 4.0, "tables_ms": 1.0}},
+            "train_vqvae": {"device_ms_per_step": 100.0}}
+    bad = check_regressions(slow, inner)
+    assert len(bad) == 1 and "wavvq.device.device_ms" in bad[0]

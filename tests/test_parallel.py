@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
 from qpgesture_tpu.match.database import (stage_database, stage_test_audio,
                                           stage_test_context)
-from qpgesture_tpu.match.engine import build_device_tables
+from qpgesture_tpu.match.engine import (CodeKNNEngine,
+                                        build_device_tables)
 from qpgesture_tpu.parallel.mesh import make_mesh
 from qpgesture_tpu.parallel.sharded_match import (build_sharded_tables,
                                                   sharded_min_reduce_demo)
@@ -201,3 +202,80 @@ def test_sharded_feat_dtype_matches_single_device():
         np.testing.assert_array_equal(
             np.asarray(getattr(single, name)),
             np.asarray(getattr(sharded, name)), err_msg=name)
+
+
+def test_streaming_pool_tick_sharded_matches_tick():
+    """StreamingPool.tick_sharded == tick (bit-identical codes AND carried
+    seed state) across interleaved ticks on the 8-device mesh."""
+    from qpgesture_tpu.serve import StreamingPool
+
+    rng = np.random.RandomState(17)
+    fx = make_fixture(rng, n_seq=6, n_test=4, codebook=64)
+    mesh = make_mesh(8)
+    for preset in ("wavvq", "shipped"):
+        cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
+                             "codebook_size": 64})
+        db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                            wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+        engine = CodeKNNEngine(cfg, db)
+        ta_all = stage_test_audio(cfg, db, wavlm=fx["test_wavlm"],
+                                  wavvq=fx["test_wavvq"])
+        tc_all = stage_test_context(db, fx["test_context"])
+        C = 2
+        pool_a = StreamingPool(engine, C)
+        pool_b = StreamingPool(engine, C)
+
+        def win(arr, w):
+            return np.stack([arr[w], arr[(w + 1) % arr.shape[0]]])
+
+        for w in range(2):
+            ta = win(ta_all, w) if cfg.use_aud else None
+            tc = win(tc_all, w) if cfg.use_txt else None
+            got = pool_b.tick_sharded(mesh, ta, tc)
+            want = pool_a.tick(ta, tc)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"{preset} tick {w}")
+        sa, sb = pool_a.state(), pool_b.state()
+        np.testing.assert_array_equal(np.asarray(sa[0]), np.asarray(sb[0]))
+        np.testing.assert_array_equal(np.asarray(sa[1]), np.asarray(sb[1]))
+
+
+def test_rawwav_serve_sharded_matches_serve():
+    """RawWavServer.serve_sharded == serve (fused or split) on the mesh."""
+    import dataclasses
+    import jax
+    from qpgesture_tpu.core.config import VQVAEConfig
+    from qpgesture_tpu.models.vq_wav2vec import VQWav2Vec, VQWav2VecConfig
+    from qpgesture_tpu.models.vqvae import VQVAE
+    from qpgesture_tpu.serve import RawWavServer
+
+    rng = np.random.RandomState(23)
+    fx = make_fixture(rng, n_seq=5, n_test=2, codebook=32)
+    cfg = dataclasses.replace(MATCH_PRESETS["wavvq"], codebook_size=32)
+    db = stage_database(cfg, fx["bundle"], fx["codes"], fx["signature"],
+                        wavlm=fx["wavlm"], wavvq=fx["wavvq"])
+    engine = CodeKNNEngine(cfg, db)
+    vq_cfg = VQVAEConfig(width=16, depth=1, emb_width=16, l_bins=32,
+                         input_dim=135, sample_length=30)
+    model = VQVAE(vq_cfg)
+    params, cb = model.init(jax.random.PRNGKey(0))
+    cb = model.init_codebook_from_batch(
+        params, np.asarray(rng.randn(2, 240, 135), np.float32),
+        jax.random.PRNGKey(1))
+    enc_cfg = VQWav2VecConfig(conv_layers=(
+        (16, 10, 5), (16, 8, 4), (16, 4, 2), (16, 4, 2), (16, 4, 2)))
+    enc = VQWav2Vec(enc_cfg)
+    wav = rng.randn(2, 64000).astype(np.float32) * 0.1
+    enc_params = enc.init(jax.random.PRNGKey(2), wav[:1])["params"]
+
+    server = RawWavServer(engine, model, params, cb,
+                          lambda p, w: enc.apply({"params": p}, w),
+                          enc_params)
+    want_codes, want_poses = server.serve(
+        wav, fx["test_context"], init_code=3,
+        rng=np.random.RandomState(cfg.seed))
+    got_codes, got_poses = server.serve_sharded(
+        make_mesh(8), wav, fx["test_context"], init_code=3,
+        rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(got_codes, want_codes)
+    np.testing.assert_allclose(got_poses, want_poses, atol=1e-5)
