@@ -89,7 +89,10 @@ def _match_flops(cfg, db, W, S):
     return flops, cells
 
 
-def _stage_mode(mode, rng, J, W, bundle, codes, signature):
+def _stage_mode(mode, rng, J, W, bundle, codes, signature,
+                feat_dtype: str = "float32"):
+    import dataclasses
+
     from qpgesture_tpu.core import constants as C
     from qpgesture_tpu.core.config import MATCH_PRESETS
     from qpgesture_tpu.match.database import (stage_database,
@@ -106,7 +109,8 @@ def _stage_mode(mode, rng, J, W, bundle, codes, signature):
         db = stage_database(cfg, bundle, codes, signature, wavvq=wavvq)
         test_audio = stage_test_audio(cfg, db, wavvq=test_wavvq)
     else:
-        cfg = MATCH_PRESETS["shipped"]
+        cfg = dataclasses.replace(MATCH_PRESETS["shipped"],
+                                  feat_dtype=feat_dtype)
         wavlm = rng.randn(J, C.WAVLM_FRAMES, 1024).astype(np.float32)
         test_wavlm = rng.randn(W, C.WAVLM_FRAMES, 1024).astype(np.float32)
         db = stage_database(cfg, bundle, codes, signature, wavlm=wavlm)
@@ -283,10 +287,11 @@ def _bench_mode(mode, rng, J, W, bundle, codes, signature, decode, model,
     return out
 
 
-def _build_encoder(mode, n_samples=64000):
+def _build_encoder(mode, n_samples=64000, precision: str = "highest"):
     """Full-size JAX audio encoder (random weights — no checkpoints ship in
     this environment; the compute is identical): WavLM-Large topology for
-    wavlm modes, vq-wav2vec for wavvq."""
+    wavlm modes, vq-wav2vec for wavvq. `precision` sets the WavLM MXU
+    precision (highest/high/default — the bf16 serving presets)."""
     import jax
 
     if mode == "wavvq":
@@ -295,7 +300,7 @@ def _build_encoder(mode, n_samples=64000):
         enc = VQWav2Vec(VQWav2VecConfig())
     else:
         from qpgesture_tpu.models.wavlm import WavLMJax, WavLMJaxConfig
-        enc = WavLMJax(WavLMJaxConfig())
+        enc = WavLMJax(WavLMJaxConfig(precision=precision))
 
     wav0 = np.zeros((1, n_samples), np.float32)
     params = enc.init(jax.random.PRNGKey(7), wav0)["params"]

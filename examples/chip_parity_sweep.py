@@ -9,10 +9,14 @@ selected codebook indices against the NumPy oracle bit-for-bit.
 
 Usage:  python examples/chip_parity_sweep.py [n_fixtures_per_preset]
             [--cosine-precision=highest|high|default]
+            [--feat-dtype=float32|bfloat16|float16]
 
 --cosine-precision overrides the audio-distance MXU precision for every
 cosine preset (MatchConfig.cosine_precision): the parity evidence for the
 opt-in 3-pass 'high' fast path is this sweep staying clean with it.
+--feat-dtype stages the audio feature DB at the given HBM residency dtype
+(MatchConfig.feat_dtype, the whole-corpus single-chip mode); the sweep
+quantifies its index divergence vs the f32 oracle per preset.
 """
 import os
 import sys
@@ -83,10 +87,11 @@ def run_long_clip() -> int:
     return 0 if same else 1
 
 
-def run(n_fixtures: int = 3, cosine_precision: str = "highest") -> int:
+def run(n_fixtures: int = 3, cosine_precision: str = "highest",
+        feat_dtype: str = "float32") -> int:
     print(f"backend: {jax.default_backend()} "
           f"({len(jax.devices())} device(s)), "
-          f"cosine_precision={cosine_precision}")
+          f"cosine_precision={cosine_precision}, feat_dtype={feat_dtype}")
     mismatches = 0
     for preset in PRESETS:
         for i in range(n_fixtures):
@@ -95,7 +100,8 @@ def run(n_fixtures: int = 3, cosine_precision: str = "highest") -> int:
             fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
             cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
                                  "codebook_size": 64,
-                                 "cosine_precision": cosine_precision})
+                                 "cosine_precision": cosine_precision,
+                                 "feat_dtype": feat_dtype})
             db = stage_database(cfg, fx["bundle"], fx["codes"],
                                 fx["signature"], wavlm=fx["wavlm"],
                                 wavvq=fx["wavvq"])
@@ -124,11 +130,14 @@ def run(n_fixtures: int = 3, cosine_precision: str = "highest") -> int:
 
 if __name__ == "__main__":
     prec = "highest"
+    fdt = "float32"
     args = []
     for a in sys.argv[1:]:
         if a.startswith("--cosine-precision="):
             prec = a.split("=", 1)[1]
+        elif a.startswith("--feat-dtype="):
+            fdt = a.split("=", 1)[1]
         else:
             args.append(a)
     n = int(args[0]) if args else 3
-    sys.exit(1 if run(n, cosine_precision=prec) else 0)
+    sys.exit(1 if run(n, cosine_precision=prec, feat_dtype=fdt) else 0)

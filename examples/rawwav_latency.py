@@ -44,6 +44,12 @@ J, W, N_SAMPLES = 1024, 6, 64000
 
 
 def run(mode: str) -> dict:
+    # mode syntax: wavvq|wavlm[_split][:precision] — the optional suffix
+    # sets the WavLM encoder MXU precision (highest|high|default); e.g.
+    # `wavlm_split:default` is the bf16-encoder serving preset.
+    enc_precision = "highest"
+    if ":" in mode:
+        mode, enc_precision = mode.split(":", 1)
     split = mode.endswith("_split")
     base = mode[:-6] if split else mode
     rng = np.random.RandomState(0)
@@ -58,12 +64,38 @@ def run(mode: str) -> dict:
         params, jnp.asarray(rng.randn(2, 240, 135).astype(np.float32)),
         jax.random.PRNGKey(1))
 
-    enc_apply, enc_params = _build_encoder(base, N_SAMPLES)
+    enc_apply, enc_params = _build_encoder(base, N_SAMPLES,
+                                           precision=enc_precision)
     server = RawWavServer(engine, model, params, cb, enc_apply, enc_params,
                           fused=not split)
 
     wav = (rng.randn(W, N_SAMPLES) * 3000).astype(np.int16)
     ctx = rng.randn(W, 30, 384).astype(np.float32)
+
+    parity = None
+    if PARITY and base != "wavvq" and enc_precision != "highest":
+        # on-chip index-parity probe for the low-precision encoder: same
+        # weights (deterministic init), same clips, encoder at `highest`
+        # vs `enc_precision` — report selected-index agreement
+        ref_apply, ref_params = _build_encoder(base, N_SAMPLES,
+                                               precision="highest")
+        ref_server = RawWavServer(engine, model, params, cb, ref_apply,
+                                  ref_params, fused=not split)
+        n_same = n_total = n_clips_same = 0
+        for k in range(PARITY_CLIPS):
+            prng = np.random.RandomState(100 + k)
+            pw = (prng.randn(W, N_SAMPLES) * 3000).astype(np.int16)
+            pc = prng.randn(W, 30, 384).astype(np.float32)
+            got, _ = server.serve(pw, pc, init_code=7,
+                                  rng=np.random.RandomState(cfg.seed))
+            want, _ = ref_server.serve(pw, pc, init_code=7,
+                                       rng=np.random.RandomState(cfg.seed))
+            n_same += int((got == want).sum())
+            n_total += got.size
+            n_clips_same += int((got == want).all())
+        parity = {"clips": PARITY_CLIPS,
+                  "clips_identical": n_clips_same,
+                  "index_agreement": round(n_same / n_total, 4)}
 
     t0 = time.perf_counter()
     codes_out, poses = server.serve(wav, ctx, init_code=7)
@@ -149,7 +181,8 @@ def run(mode: str) -> dict:
     kind, peak = devtime.peak_flops_per_s()
     gest_s = W * 4.0
     out = {
-        "mode": mode,
+        "mode": mode if enc_precision == "highest"
+        else f"{mode}:{enc_precision}",
         "e2e_p50_ms": round(p50 * 1e3, 2),
         "device_ms": round(dev_s * 1e3, 2),
         **extra,
@@ -164,14 +197,20 @@ def run(mode: str) -> dict:
         u = devtime.mfu(flops, dev_s, peak)
         if u is not None:
             out["mfu_bf16_peak"] = round(u, 4)
+    if parity is not None:
+        out["encoder_parity_vs_highest"] = parity
     return out
 
 
 WARM_ONLY = False
+PARITY = False
+PARITY_CLIPS = 5
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--warm-only"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--warm-only", "--parity")]
     WARM_ONLY = "--warm-only" in sys.argv[1:]
+    PARITY = "--parity" in sys.argv[1:]
     modes = argv or ["wavvq", "wavlm"]
     for m in modes:
         print(json.dumps(run(m)), flush=True)

@@ -50,13 +50,14 @@ def _hbm_bytes(tree) -> int:
                if hasattr(x, "nbytes"))
 
 
-def run(mode: str, J: int, peak: float) -> dict:
+def run(mode: str, J: int, peak: float,
+        feat_dtype: str = "float32") -> dict:
     from qpgesture_tpu.match.engine import _predict_impl, _tables_impl
 
     rng = np.random.RandomState(0)
     bundle, codes, signature = _build_common(rng, J)
     cfg, db, engine, test_audio, test_ctx = _stage_mode(
-        mode, rng, J, W, bundle, codes, signature)
+        mode, rng, J, W, bundle, codes, signature, feat_dtype=feat_dtype)
     S = test_audio.shape[1]
     ta = jnp.asarray(test_audio)
     tc = jnp.asarray(test_ctx)
@@ -81,7 +82,7 @@ def run(mode: str, J: int, peak: float) -> dict:
     flops, cells = _match_flops(cfg, db, W, S)
     gest_s = W * 4.0
     out = {
-        "mode": mode, "J": J,
+        "mode": mode, "J": J, "feat_dtype": feat_dtype,
         "device_ms": round(pred_s * 1e3, 3),
         "tables_ms": round(tab_s * 1e3, 3),
         "fuse_scan_ms": round(max(pred_s - tab_s, 0.0) * 1e3, 3),
@@ -101,13 +102,25 @@ def run(mode: str, J: int, peak: float) -> dict:
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [1024, 4096, 16384]
+    fdt = "float32"
+    modes = ("wavvq", "wavlm")
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--feat-dtype="):
+            fdt = a.split("=", 1)[1]
+        elif a.startswith("--modes="):
+            modes = tuple(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+    sizes = [int(a) for a in args] or [1024, 4096, 16384]
     _, peak = devtime.peak_flops_per_s()
-    for mode in ("wavvq", "wavlm"):
+    for mode in modes:
         for J in sizes:
             try:
-                print(json.dumps(run(mode, J, peak)), flush=True)
+                print(json.dumps(run(mode, J, peak, feat_dtype=fdt)),
+                      flush=True)
             except Exception as e:  # e.g. HBM OOM at the largest wavlm J
                 msg = str(e).splitlines()[0][:200] if str(e) else repr(e)
-                print(json.dumps({"mode": mode, "J": J, "error": msg}),
+                print(json.dumps({"mode": mode, "J": J,
+                                  "feat_dtype": fdt, "error": msg}),
                       flush=True)

@@ -52,8 +52,13 @@ class WavLMJaxConfig:
     num_buckets: int = 320
     max_distance: int = 800
     gru_rel_pos: bool = True
-    # "highest" = true f32 (feature fidelity); "default" = bf16 multiplies
-    # (use when the f32-emulation compile is too heavy for the target)
+    # MXU precision of EVERY contraction in the encoder (convs, attention
+    # einsums, and all Dense projections — fc1/fc2 hold most of the FLOPs):
+    #   "highest" = true f32 (feature fidelity / checkpoint-parity tests);
+    #   "high"    = 3-pass bf16x3 (~f32-accurate, ~2x faster);
+    #   "default" = 1-pass bf16 (fastest; feature perturbation ~1e-3 — for
+    #               raw-wav serving, certify with the on-chip index-parity
+    #               probe: examples/rawwav_latency.py --parity).
     precision: str = "highest"
     # scan the homogeneous layers 1..N-1 (compile one layer body instead of
     # N unrolled copies — large models compile ~20x faster); unrolled mode
@@ -142,9 +147,10 @@ class WavLMAttention(nn.Module):
             position_bias = table[jnp.asarray(buckets)]     # (T, T, H)
             position_bias = position_bias.transpose(2, 0, 1)  # (H, T, T)
 
-        q = nn.Dense(D, name="q_proj")(x).reshape(B, T, H, hd)
-        k = nn.Dense(D, name="k_proj")(x).reshape(B, T, H, hd)
-        v = nn.Dense(D, name="v_proj")(x).reshape(B, T, H, hd)
+        prec = _PRECISIONS[cfg.precision]
+        q = nn.Dense(D, name="q_proj", precision=prec)(x).reshape(B, T, H, hd)
+        k = nn.Dense(D, name="k_proj", precision=prec)(x).reshape(B, T, H, hd)
+        v = nn.Dense(D, name="v_proj", precision=prec)(x).reshape(B, T, H, hd)
 
         scores = jnp.einsum("bthd,bshd->bhts", q * (hd ** -0.5), k,
                             precision=_PRECISIONS[cfg.precision])
@@ -159,7 +165,8 @@ class WavLMAttention(nn.Module):
                 # differ by the projection and produce different gates on
                 # trained checkpoints.
                 q_raw = x.reshape(B, T, H, hd)
-                g = nn.Dense(8, name="grep_linear")(q_raw)    # (B,T,H,8)
+                g = nn.Dense(8, name="grep_linear",
+                             precision=prec)(q_raw)       # (B,T,H,8)
                 g = g.transpose(0, 2, 1, 3)                   # (B,H,T,8)
                 g = jax.nn.sigmoid(g.reshape(B, H, T, 2, 4).sum(-1))
                 gate_a, gate_b = g[..., 0:1], g[..., 1:2]     # (B,H,T,1)
@@ -172,7 +179,8 @@ class WavLMAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhts,bshd->bthd", attn, v,
                          precision=_PRECISIONS[cfg.precision])
-        out = nn.Dense(D, name="out_proj")(out.reshape(B, T, D))
+        out = nn.Dense(D, name="out_proj",
+                       precision=prec)(out.reshape(B, T, D))
         return out, position_bias
 
 
@@ -184,20 +192,25 @@ class WavLMLayer(nn.Module):
     def __call__(self, x, position_bias):
         cfg = self.cfg
         attn = WavLMAttention(cfg, self.has_bias_table, name="self_attn")
+        prec = _PRECISIONS[cfg.precision]
         if cfg.layer_norm_first:
             h, position_bias = attn(
                 nn.LayerNorm(name="self_attn_layer_norm")(x), position_bias)
             x = x + h
             h = nn.LayerNorm(name="final_layer_norm")(x)
-            h = nn.gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1")(h),
+            h = nn.gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1",
+                                 precision=prec)(h),
                         approximate=False)
-            x = x + nn.Dense(cfg.encoder_embed_dim, name="fc2")(h)
+            x = x + nn.Dense(cfg.encoder_embed_dim, name="fc2",
+                             precision=prec)(h)
         else:
             h, position_bias = attn(x, position_bias)
             x = nn.LayerNorm(name="self_attn_layer_norm")(x + h)
-            h = nn.gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1")(x),
+            h = nn.gelu(nn.Dense(cfg.encoder_ffn_embed_dim, name="fc1",
+                                 precision=prec)(x),
                         approximate=False)
-            h = nn.Dense(cfg.encoder_embed_dim, name="fc2")(h)
+            h = nn.Dense(cfg.encoder_embed_dim, name="fc2",
+                         precision=prec)(h)
             x = nn.LayerNorm(name="final_layer_norm")(x + h)
         return x, position_bias
 
@@ -230,7 +243,8 @@ class WavLMJax(nn.Module):
         feats = nn.LayerNorm(name="feat_layer_norm")(feats)
         if feats.shape[-1] != cfg.encoder_embed_dim:
             feats = nn.Dense(cfg.encoder_embed_dim,
-                             name="post_extract_proj")(feats)
+                             name="post_extract_proj",
+                             precision=_PRECISIONS[cfg.precision])(feats)
 
         # conv positional embedding: grouped conv + SamePad trim + GELU
         k, groups = cfg.conv_pos, cfg.conv_pos_groups
