@@ -126,3 +126,52 @@ def test_transformers_mean_pool_embed_fn(tmp_path):
     embed2 = sentence_transformer_embed_fn(str(mdir))
     np.testing.assert_allclose(embed2(["hello world"])[0], out[0],
                                atol=1e-6)
+
+
+def test_build_db_cli_device_native_minilm(tmp_path, rng):
+    """--sentence-model with a checkpoint DIR routes through the JAX
+    MiniLM port (minilm_embed_fn), producing (n, 30, 1, D) context equal
+    to embedding the slot texts with the torch mean-pool oracle."""
+    torch = pytest.importorskip("torch")
+    from test_minilm import SMALL, _hf_model, _write_checkpoint
+
+    bvh_dir = tmp_path / "bvh"
+    wav_dir = tmp_path / "wav"
+    txt_dir = tmp_path / "txt"
+    out_dir = tmp_path / "db"
+    for d in (bvh_dir, wav_dir, txt_dir):
+        os.makedirs(d)
+    sr = 16000
+    name = "1_spk_0_1_8"
+    dur = 9.0
+    with open(bvh_dir / f"{name}.bvh", "w") as f:
+        f.write(make_beat_like_bvh(rng, int(dur * 120)))
+    wav = (0.2 * np.sin(2 * np.pi * 200 * np.arange(int(dur * sr)) / sr)
+           ).astype(np.float32)
+    with wavemod.open(str(wav_dir / f"{name}.wav"), "w") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes((wav * 32767).astype(np.int16).tobytes())
+    with open(txt_dir / f"{name}.txt", "w") as f:
+        f.write("0.5\t0.9\thello\n2.0\t2.4\tworld\n")
+
+    torch.manual_seed(21)
+    ckpt = str(tmp_path / "minilm")
+    _write_checkpoint(ckpt, _hf_model(SMALL))
+
+    cli_main(["build-db", "--bvh-dir", str(bvh_dir), "--wav-dir",
+              str(wav_dir), "--transcript-dir", str(txt_dir),
+              "--out", str(out_dir), "--prefix", "spk",
+              "--sentence-model", ckpt])
+    train = DatabaseBundle.load(str(out_dir / "spk_train_240_txt_2.npz"))
+    assert train.context.shape[1:] == (30, 1, SMALL.hidden_size)
+
+    # same context as embedding the slot texts directly with the port
+    from qpgesture_tpu.models.minilm import load_minilm
+    from qpgesture_tpu.pipelines.database_builder import context_slots
+    from qpgesture_tpu.pipelines.transcripts import read_tab_transcript
+    enc = load_minilm(ckpt)
+    words = read_tab_transcript(str(txt_dir / f"{name}.txt"))
+    want0 = enc(context_slots(words, 0.0, 4.0))
+    np.testing.assert_allclose(train.context[0, :, 0, :], want0, atol=1e-6)
