@@ -504,8 +504,13 @@ def main():
     # QPG_BENCH_RAWWAV_MODES to override (comma-separated).
     import subprocess
     rawwav = {}
+    # wavlm_split:default is the certified bf16-encoder serving preset
+    # (round 4): same split structure, encoder contractions at 1-pass
+    # bf16 — index parity vs the highest-precision encoder quantified by
+    # `rawwav_latency.py wavlm_split:default --parity` on chip.
     modes = tuple(os.environ.get("QPG_BENCH_RAWWAV_MODES",
-                                 "wavvq,wavlm_split").split(","))
+                                 "wavvq,wavlm_split,wavlm_split:default"
+                                 ).split(","))
     for mode in modes:
         print(f"benchmarking raw-wav ingress ({mode})...", file=sys.stderr)
         try:
@@ -584,6 +589,8 @@ _REGRESSION_KEYS = (
     ("rawwav.wavvq.device_ms", ("rawwav", "wavvq", "device_ms")),
     ("rawwav.wavlm_split.device_ms",
      ("rawwav", "wavlm_split", "device_ms")),
+    ("rawwav.wavlm_split:default.device_ms",
+     ("rawwav", "wavlm_split:default", "device_ms")),
     ("train_vqvae.device_ms_per_step",
      ("train_vqvae", "device_ms_per_step")),
 )

@@ -192,6 +192,30 @@ def _normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
     return _l2_normalize(x)
 
 
+def stage_cosine_features(flat: np.ndarray, feat_dtype: str) -> np.ndarray:
+    """Host-side residency prep for a cosine feature DB: f32 row-normalize
+    (zero rows stay zero — ``_l2_normalize`` semantics) then cast to the
+    residency dtype.
+
+    This runs on HOST because normalizing on device would hold TWO
+    DB-sized f32 buffers at once (the staged parameter plus the normalize
+    output) before the downcast — a 2x HBM peak that OOMs exactly the
+    whole-corpus databases the residency mode exists to fit (J=16384
+    wavlm: 10.5 GB f32 -> ~26 GB staging peak on a 16 GB chip; measured
+    RESOURCE_EXHAUSTED). Host-staged, the only device resident is the
+    final low-precision DB (5.3 GB at J=16384, 10.6 GB at J=32768).
+
+    Shared by single-chip staging (``device_match_db``) and the sharded
+    path (``parallel.sharded_match.sharded_candidate_reduce``) so both
+    stage bit-identical feature rows."""
+    import ml_dtypes
+    flat = np.asarray(flat, np.float32)
+    n = np.linalg.norm(flat, axis=-1, keepdims=True)
+    flat = flat / np.where(n > 0, n, 1.0)
+    return flat.astype({"bfloat16": ml_dtypes.bfloat16,
+                        "float16": np.float16}[feat_dtype])
+
+
 def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
     aud_feat = None
     if cfg.use_aud:
@@ -208,11 +232,14 @@ def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
             # of which 10.9 GB were these temps). Flat storage makes the
             # in-program reshape an identity and leaves temp usage ~0.
             flat = db.aud_feat.reshape(-1, db.aud_feat.shape[-1])
-            aud_feat = _normalize_rows(jnp.asarray(flat))
             if cfg.feat_dtype != "float32":
-                # halve HBM residency (normalize in f32 first: row norms in
-                # bf16 would add ~2^-8 error on top of the storage rounding)
-                aud_feat = aud_feat.astype(cfg.feat_dtype)
+                # halve HBM residency; normalize+cast on HOST — see
+                # stage_cosine_features for why (the device version's 2x
+                # f32 staging peak OOMs whole-corpus databases)
+                aud_feat = jnp.asarray(
+                    stage_cosine_features(flat, cfg.feat_dtype))
+            else:
+                aud_feat = _normalize_rows(jnp.asarray(flat))
     return DeviceMatchDB(
         aud_feat=aud_feat,
         aud_codes=jnp.asarray(db.aud_codes) if cfg.use_aud else None,

@@ -103,16 +103,14 @@ def sharded_candidate_reduce(cfg: MatchConfig, mesh: Mesh,
     n_dev = mesh.devices.size
     J, B = codes.shape
     if not is_strings and residency_dtype != "float32":
-        # normalize rows in f32 on host (engine._l2_normalize semantics:
-        # zero rows stay zero) then cast — per-shard HBM residency halves,
-        # same as device_match_db's single-chip residency mode
-        import ml_dtypes
-        flat = feat.reshape(-1, feat.shape[-1]).astype(np.float32)
-        n = np.linalg.norm(flat, axis=-1, keepdims=True)
-        flat = flat / np.where(n > 0, n, 1.0)
-        feat = flat.reshape(feat.shape).astype(
-            {"bfloat16": ml_dtypes.bfloat16,
-             "float16": np.float16}[residency_dtype])
+        # host f32-normalize + cast — the SAME helper device_match_db's
+        # single-chip residency mode uses, so both paths stage
+        # bit-identical feature rows (and neither pays the 2x f32
+        # device-normalize staging peak)
+        from ..match.engine import stage_cosine_features
+        flat = stage_cosine_features(
+            feat.reshape(-1, feat.shape[-1]), residency_dtype)
+        feat = flat.reshape(feat.shape)
     feat_p, _ = pad_to_multiple(feat, n_dev)
     codes_p, _ = pad_to_multiple(codes, n_dev)
     valid = np.zeros((feat_p.shape[0], B), bool)

@@ -659,6 +659,14 @@ def test_feat_dtype_residency(feat_dtype):
     devdb = device_match_db(cfg_lp, db)
     assert devdb.aud_feat.dtype == jnp.dtype(feat_dtype)
     assert devdb.txt_feat.dtype == jnp.float32  # text side stays f32
+    # staging goes through the HOST normalize+cast helper (bit-identical
+    # to what the sharded path stages — and no 2x f32 device peak)
+    from qpgesture_tpu.match.engine import stage_cosine_features
+    want_feat = stage_cosine_features(
+        db.aud_feat.reshape(-1, db.aud_feat.shape[-1]), feat_dtype)
+    np.testing.assert_array_equal(
+        np.asarray(devdb.aud_feat).view(np.uint16),
+        np.asarray(want_feat).view(np.uint16))
 
     t32 = build_device_tables(cfg32, db, test_audio, test_context)
     tlp = build_device_tables(cfg_lp, db, test_audio, test_context)

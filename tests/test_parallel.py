@@ -176,10 +176,11 @@ def test_predict_batch_sharded_matches_single():
 
 def test_sharded_feat_dtype_matches_single_device():
     """Low-precision residency through the sharded path: sharded tables
-    with cfg.feat_dtype == the single-device engine's tables at the same
-    dtype (both sides round features to the dtype; host vs jnp
-    normalization may differ in the last f32 ulp, so compare ranks with a
-    tiny tolerance band via exact-match fraction)."""
+    with cfg.feat_dtype are BIT-IDENTICAL to the single-device engine's
+    tables at the same dtype — both stage through the shared host
+    stage_cosine_features (same normalized bits), per-element distances
+    are invariant to splitting the row axis, and the pmin combine
+    preserves scan-order ties."""
     import dataclasses
     rng = np.random.RandomState(91)
     fx = make_fixture(rng, n_seq=6, n_test=2, codebook=64)
@@ -193,12 +194,8 @@ def test_sharded_feat_dtype_matches_single_device():
     single = build_device_tables(cfg, db, test_audio, test_context)
     sharded = build_sharded_tables(cfg, db, make_mesh(8), test_audio,
                                    test_context)
-    for name in ("aud_rank", "aud_block", "aud_seq", "aud_start"):
-        a = np.asarray(getattr(single, name))
-        b = np.asarray(getattr(sharded, name))
-        agree = (a == b).mean()
-        assert agree > 0.99, f"{name} agreement {agree:.4f}"
-    for name in ("txt_rank", "txt_block", "txt_seq", "txt_start"):
+    for name in ("aud_rank", "aud_block", "aud_seq", "aud_start",
+                 "txt_rank", "txt_block", "txt_seq", "txt_start"):
         np.testing.assert_array_equal(
             np.asarray(getattr(single, name)),
             np.asarray(getattr(sharded, name)), err_msg=name)
