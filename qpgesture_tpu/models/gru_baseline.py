@@ -116,9 +116,7 @@ class GeneratorLinear(nn.Module):
     loss; sample() takes the per-slot argmax (its softmax+top1 is argmax).
 
     The reference's remaining generate.py content — the Seq2Seq attention
-    decoder (generate.py:69-309) — is vendored tutorial code with no call
-    sites anywhere in the reference (its EncoderRNN/Generator are never
-    constructed); it is deliberately NOT ported (COMPONENTS.md §2.3)."""
+    decoder (generate.py:69-309) — is ported in models/seq2seq.py."""
     output: int = C.CODEBOOK_SIZE
 
     @nn.compact

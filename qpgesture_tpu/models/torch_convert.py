@@ -243,3 +243,51 @@ def load_vqvae_checkpoint(path: str, cfg: VQVAEConfig):
     ckpt = _torch_load_reference(path)
     sd = ckpt["model_dict"] if "model_dict" in ckpt else ckpt
     return convert_vqvae(sd, cfg)
+
+
+def _torch_gru_layer(sd: Dict, prefix: str, layer: int,
+                     suffix: str = "") -> Dict:
+    """One torch nn.GRU layer[/direction] -> TorchGRUCell params."""
+    return {
+        "w_ih": np.ascontiguousarray(
+            _np(sd[f"{prefix}.weight_ih_l{layer}{suffix}"]).T),
+        "w_hh": np.ascontiguousarray(
+            _np(sd[f"{prefix}.weight_hh_l{layer}{suffix}"]).T),
+        "b_ih": _np(sd[f"{prefix}.bias_ih_l{layer}{suffix}"]),
+        "b_hh": _np(sd[f"{prefix}.bias_hh_l{layer}{suffix}"]),
+    }
+
+
+def convert_seq2seq(state_dict: Dict, n_layers: int = 1) -> Dict:
+    """Reference Seq2SeqNet state_dict (generate.py:275-309) -> flax
+    variables for models.seq2seq.Seq2SeqNet: the EncoderRNN embedding +
+    bidirectional GRU stack, the Bahdanau attention (W, v), the decoder's
+    pre_linear Dense + BatchNorm1d, GRU stack, output Dense, and the
+    optional discrete/speaker embeddings when present."""
+    sd = strip_prefix(state_dict)
+
+    enc: Dict = {"embedding": {"embedding": _np(sd["encoder.embedding.weight"])}}
+    for layer in range(n_layers):
+        enc[f"gru{layer}_f"] = _torch_gru_layer(sd, "encoder.gru", layer)
+        enc[f"gru{layer}_b"] = _torch_gru_layer(sd, "encoder.gru", layer,
+                                                "_reverse")
+
+    dkey = "decoder.decoder"
+    bn_p, bn_s = _batchnorm(sd, f"{dkey}.pre_linear.1")
+    dec: Dict = {
+        "pre_linear": _dense(sd, f"{dkey}.pre_linear.0"),
+        "pre_bn": bn_p,
+        "attn": {"attn": _dense(sd, f"{dkey}.attn.attn"),
+                 "v": _np(sd[f"{dkey}.attn.v"])},
+        "out": _dense(sd, f"{dkey}.out"),
+    }
+    for layer in range(n_layers):
+        dec[f"gru{layer}"] = _torch_gru_layer(sd, f"{dkey}.gru", layer)
+    if f"{dkey}.embedding.weight" in sd:
+        dec["embedding"] = {"embedding": _np(sd[f"{dkey}.embedding.weight"])}
+    if f"{dkey}.speaker_embedding.weight" in sd:
+        dec["speaker_embedding"] = {
+            "embedding": _np(sd[f"{dkey}.speaker_embedding.weight"])}
+
+    return {"params": {"encoder": enc, "decoder": dec},
+            "batch_stats": {"decoder": {"pre_bn": bn_s}}}
