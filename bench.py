@@ -504,13 +504,17 @@ def main():
     # QPG_BENCH_RAWWAV_MODES to override (comma-separated).
     import subprocess
     rawwav = {}
-    # wavlm_split:default is the certified bf16-encoder serving preset
-    # (round 4): same split structure, encoder contractions at 1-pass
-    # bf16 — index parity vs the highest-precision encoder quantified by
-    # `rawwav_latency.py wavlm_split:default --parity` on chip.
-    modes = tuple(os.environ.get("QPG_BENCH_RAWWAV_MODES",
-                                 "wavvq,wavlm_split,wavlm_split:default"
-                                 ).split(","))
+    # Encoder precision presets (round 4, ARCHITECTURE 'WavLM encoder
+    # precision'): :high (bf16x3) is the certified-parity-clean serving
+    # preset, :default (1-pass bf16) the fast one (95.7% index agreement
+    # on the chip probe). Plain wavlm_split now means honest f32-HIGHEST
+    # on EVERY contraction (42 ms encoder) and is no longer benched by
+    # default — BENCH_r03's 23.6 ms "wavlm_split" was measured before all
+    # contractions were pinned (Dense/FFN ran 1-pass bf16), so its
+    # closest successor row is :default, not plain.
+    modes = tuple(os.environ.get(
+        "QPG_BENCH_RAWWAV_MODES",
+        "wavvq,wavlm_split:high,wavlm_split:default").split(","))
     for mode in modes:
         print(f"benchmarking raw-wav ingress ({mode})...", file=sys.stderr)
         try:
@@ -587,8 +591,13 @@ _REGRESSION_KEYS = (
     ("wavlm.device.device_ms", ("wavlm", "device", "device_ms")),
     ("wavlm.device.tables_ms", ("wavlm", "device", "tables_ms")),
     ("rawwav.wavvq.device_ms", ("rawwav", "wavvq", "device_ms")),
+    # plain wavlm_split is absent from r4+ outputs (see the rawwav mode
+    # comment): _dig returns None on whichever side lacks a row and the
+    # check skips it, so old/new snapshots stay mutually checkable
     ("rawwav.wavlm_split.device_ms",
      ("rawwav", "wavlm_split", "device_ms")),
+    ("rawwav.wavlm_split:high.device_ms",
+     ("rawwav", "wavlm_split:high", "device_ms")),
     ("rawwav.wavlm_split:default.device_ms",
      ("rawwav", "wavlm_split:default", "device_ms")),
     ("train_vqvae.device_ms_per_step",
