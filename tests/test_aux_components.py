@@ -95,6 +95,18 @@ def test_plot_cli_and_library(tmp_path, rng):
     assert os.path.getsize(os.path.join(out, "scalars.png")) > 1000
     assert os.path.getsize(os.path.join(out, "phase_manifold.png")) > 1000
 
+    # --phase-debug + --wav: the visualize_phase.py debug views
+    # (VERDICT r4 #7) — per-channel Phase2D_mono grids (single window +
+    # 3-window overlay) and the time/frequency-domain wav panels
+    wav = str(tmp_path / "in.npz")
+    np.savez(wav, wav=(0.2 * rng.randn(16000 * 2)).astype(np.float32))
+    out2 = str(tmp_path / "plots2")
+    cli_main(["plot", "--phase", phase, "--phase-debug", "--wav", wav,
+              "--out", out2])
+    for name in ("visualize_phase.png", "visualize_phase_3.png",
+                 "wav_debug.png", "phase_manifold.png"):
+        assert os.path.getsize(os.path.join(out2, name)) > 1000, name
+
 
 def test_train_vqvae_resume(tmp_path, rng):
     """Failure recovery: a crashed run resumes from the rolling 'latest'
@@ -185,3 +197,52 @@ def test_bench_regression_guard(tmp_path):
             "train_vqvae": {"device_ms_per_step": 100.0}}
     bad = check_regressions(slow, inner)
     assert len(bad) == 1 and "wavvq.device.device_ms" in bad[0]
+
+
+def test_bench_incremental_emission(tmp_path, capsys, monkeypatch):
+    """The round-5 timeout fix: every _emit prints ONE compact JSON line
+    (under the driver's ~2.5 kB stdout-tail buffer, carrying the
+    regression-check key paths) and mirrors the full detail to
+    bench_full.json; _find_check_snapshot picks the newest PARSEABLE
+    driver snapshot, skipping rc=124 husks like BENCH_r04."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from bench import (_REGRESSION_KEYS, _dig, _find_check_snapshot,
+                       check_regressions, load_snapshot)
+
+    # realistic full-detail payload: the shipped round-3 driver capture
+    full = load_snapshot("/root/repo/BENCH_r03.json")
+    full.update(metric="gesture_seconds_matched_per_wall_second",
+                value=408.271, unit="gesture-s/s", vs_baseline=5103.4,
+                pending=["rawwav:wavvq"], skipped=[])
+    monkeypatch.setattr(bench, "_FULL_PATH", str(tmp_path / "full.json"))
+    compact = bench._emit(full)
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) < 2200, f"compact line too long: {len(line)}B"
+    parsed = json.loads(line)
+    assert parsed == compact
+    assert parsed["metric"] == "gesture_seconds_matched_per_wall_second"
+    assert parsed["pending"] == ["rawwav:wavvq"]
+    # every regression key the guard digs for survives compaction when
+    # present in the full dict (rawwav modes not in full are fine)
+    for name, path in _REGRESSION_KEYS:
+        if _dig(full, path) is not None:
+            assert _dig(compact, path) == _dig(full, path), name
+    # the compact snapshot is itself checkable
+    assert check_regressions(compact, compact) == []
+    # and the full detail landed on disk, unabridged
+    disk = json.loads((tmp_path / "full.json").read_text())
+    assert disk["wavlm"]["device"]["tables_ms_high"] == \
+        full["wavlm"]["device"]["tables_ms_high"]
+
+    # snapshot discovery: r9 is an rc=124 husk (no JSON in tail), r8 parses
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(
+        {"rc": 0, "tail": json.dumps({"metric": "m", "value": 1})}))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"rc": 124, "tail": "benchmarking wavvq...\n"}))
+    assert _find_check_snapshot(str(tmp_path)).endswith("BENCH_r08.json")
+    monkeypatch.setenv("QPG_BENCH_CHECK", "none")
+    assert _find_check_snapshot(str(tmp_path)) is None
