@@ -18,6 +18,8 @@ import sys
 
 import numpy as np
 
+from .core import constants as C
+
 
 def _load_vqvae(checkpoint: str, cfg):
     """Load either a reference torch .bin or an orbax checkpoint dir."""
@@ -498,21 +500,64 @@ def cmd_train_vqvae(args):
     print(f"best val: {best}")
 
 
+def _end2end_windows(wav: np.ndarray, max_frames: int = 0) -> np.ndarray:
+    """Non-overlapping 4 s subdivision with trailing-window zero-pad —
+    the end2end serving split (codebook/inference.py:33-43,67-75; the
+    matching path's window_test_audio DROPS the partial tail instead,
+    make_test_data.py:18-33). max_frames clamps like inference.py:40-41
+    (MAX_FRAMES=3600 -> 15 windows)."""
+    import math
+    unit = int(C.NUM_FRAMES / C.FPS * C.SR)  # 4 s * 16 kHz = 64000
+    n_sub = 1 if len(wav) < unit else \
+        math.ceil((len(wav) - unit) / unit) + 1
+    if max_frames:
+        n_sub = min(n_sub, max(1, int(max_frames / C.NUM_FRAMES)))
+    wins = np.zeros((n_sub, unit), np.float32)
+    for i in range(n_sub):
+        chunk = wav[i * unit:(i + 1) * unit]
+        wins[i, :len(chunk)] = chunk
+    return wins
+
+
+def _load_end2end_generator(path: str, cfg):
+    """GeneratorGRU inference variables from a reference torch .bin
+    ({'model_dict'}, end2end.py:119-128) or a train-end2end orbax dir."""
+    import os
+
+    from .models.gru_baseline import GeneratorGRU
+
+    model = GeneratorGRU(hidden=cfg.hidden_size, output=cfg.output_size)
+    if os.path.isdir(path):
+        import jax
+
+        from .train.checkpoints import restore_checkpoint
+        from .train.train_end2end import End2EndTrainer
+        trainer = End2EndTrainer(cfg)
+        template = trainer.init_state(jax.random.PRNGKey(0))
+        state = restore_checkpoint(path, template, name="latest")
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+    else:
+        from .models.torch_convert import load_generator_gru_checkpoint
+        variables = load_generator_gru_checkpoint(path)
+    return model, variables
+
+
 def cmd_generate(args):
     """Wav in, BVH out — the product path in one command (the reference's
     demo wrapper, Speech2GestureMatching/inference.py:19-82, plus decode):
     window the audio, extract wavvq codes, match against the staged
-    database, decode with the VQ-VAE, write BVH."""
+    database, decode with the VQ-VAE, write BVH.
+
+    --model end2end is the "w/o motion matching" ablation's serving path
+    (codebook/inference.py:26-98): the trained GRU baseline predicts the
+    code string directly from raw audio — no database, no KNN — and the
+    rest of the decode/render tail is shared."""
 
     from .core.config import MATCH_PRESETS, MatchConfig, load_config
     from .core.schemas import (CodebookSignature, DatabaseBundle, load_codes,
                                load_wavlm, load_wavvq)
-    from .match.database import (stage_database, stage_test_audio,
-                                 stage_test_context)
-    from .match.engine import CodeKNNEngine
     from .motion.pipeline import MotionPipeline
-    from .pipelines.database_builder import (extract_wavvq,
-                                             window_test_audio)
     from .render.decode import render_result
 
     if args.wav.endswith(".npz"):
@@ -522,63 +567,114 @@ def cmd_generate(args):
     else:
         from .pipelines.audio_prep import load_wav_16k
         wav = load_wav_16k(args.wav)
-    windows = window_test_audio(wav)
-    print(f"{windows.shape[0]} windows of 4 s")
 
-    preset = MATCH_PRESETS[args.preset]
-    bundle = DatabaseBundle.load(args.train_database)
-    codes = load_codes(args.train_codebook)
-    signature = CodebookSignature.load(args.codebook_signature)
-    cfg = MatchConfig(**{**preset.__dict__,
-                         "codebook_size": signature.signature.shape[0]})
-    wavlm = load_wavlm(args.train_wavlm) if args.train_wavlm else None
-    wavvq = load_wavvq(args.train_wavvq) if args.train_wavvq else None
-    db = stage_database(cfg, bundle, codes, signature, wavlm=wavlm,
-                        wavvq=wavvq)
+    conf = load_config(args.config) if args.config else None
+    bundle = None
 
-    if cfg.audio_mode == "wavvq_feat":
-        from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
-        model, variables = load_vq_wav2vec_checkpoint(args.wavvq_checkpoint)
-        test_wavvq = extract_wavvq(model, variables, windows)
-        test_audio = stage_test_audio(cfg, db, wavvq=test_wavvq)
+    if args.model == "end2end":
+        import jax
+
+        from .core.config import End2EndConfig
+        if not args.end2end_checkpoint:
+            raise SystemExit("--model end2end needs --end2end-checkpoint")
+        windows = _end2end_windows(wav, max_frames=args.max_frames)
+        print(f"{windows.shape[0]} windows of 4 s (end2end)")
+        e2e_cfg = conf.end2end if conf else End2EndConfig()
+        gen, variables = _load_end2end_generator(
+            args.end2end_checkpoint, e2e_cfg)
+        # one batched device program over every window — the reference
+        # loops host-side window at a time (inference.py:67-80)
+        sample = jax.jit(lambda v, w: gen.sample(v, w))
+        codes = np.asarray(sample(variables, windows))
+        print(f"sampled codes {codes.shape}")
     else:
-        from .models.wavlm import load_wavlm_checkpoint
-        model, variables = load_wavlm_checkpoint(args.wavlm_checkpoint)
-        from .pipelines.database_builder import extract_wavlm
-        test_wavlm = extract_wavlm(model, variables, windows)
-        test_audio = stage_test_audio(cfg, db, wavlm=test_wavlm)
-    test_context = None
-    if cfg.use_txt:
-        # without transcripts the context falls back to empty-text
-        # embeddings replicated per window
-        from .pipelines.database_builder import hashed_embed_fn
-        embed = hashed_embed_fn()
-        ctx = np.tile(embed([""] * 30)[None, :, :],
-                      (windows.shape[0], 1, 1)).astype(np.float32)
-        test_context = stage_test_context(db, ctx)
+        from .match.database import (stage_database, stage_test_audio,
+                                     stage_test_context)
+        from .match.engine import CodeKNNEngine
+        from .pipelines.database_builder import (extract_wavvq,
+                                                 window_test_audio)
+        for req in ("train_database", "train_codebook",
+                    "codebook_signature"):
+            if not getattr(args, req):
+                raise SystemExit(f"--model matching needs "
+                                 f"--{req.replace('_', '-')}")
+        windows = window_test_audio(wav)
+        print(f"{windows.shape[0]} windows of 4 s")
+        preset = MATCH_PRESETS[args.preset]
+        bundle = DatabaseBundle.load(args.train_database)
+        train_codes = load_codes(args.train_codebook)
+        signature = CodebookSignature.load(args.codebook_signature)
+        cfg = MatchConfig(**{**preset.__dict__,
+                             "codebook_size": signature.signature.shape[0]})
+        wavlm = load_wavlm(args.train_wavlm) if args.train_wavlm else None
+        wavvq = load_wavvq(args.train_wavvq) if args.train_wavvq else None
+        db = stage_database(cfg, bundle, train_codes, signature,
+                            wavlm=wavlm, wavvq=wavvq)
 
-    engine = CodeKNNEngine(cfg, db)
-    result = engine.predict(test_audio, test_context)
-    print(f"matched codes {result.codes.shape}")
+        if cfg.audio_mode == "wavvq_feat":
+            from .models.vq_wav2vec import load_vq_wav2vec_checkpoint
+            model, variables = load_vq_wav2vec_checkpoint(
+                args.wavvq_checkpoint)
+            test_wavvq = extract_wavvq(model, variables, windows)
+            test_audio = stage_test_audio(cfg, db, wavvq=test_wavvq)
+        else:
+            from .models.wavlm import load_wavlm_checkpoint
+            model, variables = load_wavlm_checkpoint(args.wavlm_checkpoint)
+            from .pipelines.database_builder import extract_wavlm
+            test_wavlm = extract_wavlm(model, variables, windows)
+            test_audio = stage_test_audio(cfg, db, wavlm=test_wavlm)
+        test_context = None
+        if cfg.use_txt:
+            # without transcripts the context falls back to empty-text
+            # embeddings replicated per window
+            from .pipelines.database_builder import hashed_embed_fn
+            embed = hashed_embed_fn()
+            ctx = np.tile(embed([""] * 30)[None, :, :],
+                          (windows.shape[0], 1, 1)).astype(np.float32)
+            test_context = stage_test_context(db, ctx)
+
+        engine = CodeKNNEngine(cfg, db)
+        result = engine.predict(test_audio, test_context)
+        codes = np.asarray(result.codes)
+        print(f"matched codes {codes.shape}")
 
     from .core.config import VQVAEConfig
-    conf = load_config(args.config) if args.config else None
     vq_cfg = conf.vqvae if conf else VQVAEConfig()
     model, params, cb = _load_vqvae(args.vqvae_checkpoint, vq_cfg)
     with open(args.pipeline) as f:
         pipeline = MotionPipeline.from_json(f.read())
     mean = np.asarray(conf.data_mean) if conf and conf.data_mean else None
     std = np.asarray(conf.data_std) if conf and conf.data_std else None
-    bvh_path, npy_path = render_result(result.codes, model, params, cb,
+
+    pose_transform = None
+    if getattr(args, "resync", None):
+        # stage-2 resync (ResyncGestureKNN.py:155-175): the trained UNet
+        # re-syncs the decoded KNN motion to the audio's MFCCs before BVH
+        if bundle is None:
+            if not args.train_database:
+                raise SystemExit("--resync needs --train-database (the "
+                                 "mfcc/body stats source)")
+            bundle = DatabaseBundle.load(args.train_database)
+        pose_transform = _make_resync_transform(
+            args.resync, wav, bundle, n_joints=135)
+        print(f"applying ResyncNet from {args.resync}")
+    bvh_path, npy_path = render_result(codes, model, params, cb,
                                        pipeline, args.out, args.prefix,
                                        data_mean=mean, data_std=std,
-                                       smoothing=args.smooth)
+                                       smoothing=args.smooth,
+                                       pose_transform=pose_transform)
+    if args.model == "end2end":
+        # the reference also persists the sampled code string
+        # (inference.py:96, 'code<prefix>.npy')
+        code_path = os.path.join(args.out, f"code_{args.prefix}.npy")
+        np.save(code_path, codes)
+        print(f"wrote {code_path}")
     print(f"wrote {bvh_path}")
     if args.video and npy_path:
         from .render.visualize import render_positions
         pos = np.load(npy_path)
         out = render_positions(pos, bvh_path.replace(".bvh", ".mp4"),
-                               codes=result.codes)
+                               codes=codes)
         print(f"wrote {out}")
 
 
@@ -851,7 +947,8 @@ def cmd_plot(args):
     scalars.jsonl history and/or a phase-manifold PCA from a Phase npz."""
     import os
 
-    from .render.plots import plot_phase_manifold, plot_scalar_history
+    from .render.plots import (plot_phase_channels, plot_phase_manifold,
+                               plot_scalar_history, plot_wav_debug)
 
     os.makedirs(args.out, exist_ok=True)
     wrote = []
@@ -864,14 +961,146 @@ def cmd_plot(args):
         data = np.load(args.phase, allow_pickle=True)
         key = "phase" if "phase" in data.files else data.files[0]
         phase = _to_dense_phase(data[key])
-        if phase.ndim == 4:  # (n, T, 4, 8) -> concatenate sequences
-            phase = phase.reshape(-1, *phase.shape[2:])
+        if args.phase_debug:
+            # per-channel Phase2D_mono curves over random 32-frame
+            # windows (visualize_phase.py:64-83: one window, then a
+            # 3-window overlay)
+            seqs = phase if phase.ndim == 4 else phase[None]
+            rng = np.random.RandomState(args.seed)
+            win = min(32, seqs.shape[1])
+
+            def pick():
+                i = rng.randint(0, seqs.shape[0])
+                j = rng.randint(0, max(1, seqs.shape[1] - win + 1))
+                return seqs[i, j:j + win]
+            wrote.append(plot_phase_channels(
+                [pick()], os.path.join(args.out, "visualize_phase.png")))
+            wrote.append(plot_phase_channels(
+                [pick() for _ in range(3)],
+                os.path.join(args.out, "visualize_phase_3.png")))
+        flat = phase.reshape(-1, *phase.shape[-2:]) if phase.ndim == 4 \
+            else phase
         wrote.append(plot_phase_manifold(
-            phase, os.path.join(args.out, "phase_manifold.png")))
+            flat, os.path.join(args.out, "phase_manifold.png")))
+    if args.wav:
+        if args.wav.endswith(".npz"):
+            wav = np.load(args.wav)["wav"].astype(np.float32).reshape(-1)
+            sr = C.SR
+        else:
+            from .pipelines.audio_prep import load_wav_16k
+            wav = load_wav_16k(args.wav)
+            sr = C.SR
+        wrote.append(plot_wav_debug(
+            wav, sr, os.path.join(args.out, "wav_debug.png")))
     if not wrote:
-        raise SystemExit("pass --history and/or --phase")
+        raise SystemExit("pass --history, --phase and/or --wav")
     for w in wrote:
         print(f"wrote {w}")
+
+
+def _load_resync_variables(path: str, n_mfcc: int, n_joints: int,
+                           num_frames: int):
+    """ResyncNet inference variables from either a torch checkpoint
+    (best_model.pth / a bare state_dict pickle) or an orbax directory
+    saved by `train-resync`."""
+    import os
+
+    from .models.resync import ResyncNet
+
+    gen = ResyncNet(out_features=n_joints)
+    if os.path.isdir(path):
+        import jax
+
+        from .core.config import ResyncConfig
+        from .train.checkpoints import restore_checkpoint
+        from .train.train_resync import ResyncTrainer
+        trainer = ResyncTrainer(ResyncConfig(), n_mfcc=n_mfcc,
+                                n_joints=n_joints, num_frames=num_frames)
+        template = trainer.init_state(jax.random.PRNGKey(0),
+                                      num_frames=num_frames)
+        state = restore_checkpoint(path, template, name="latest")
+        variables = {"params": state.g_params,
+                     "batch_stats": state.g_stats}
+    else:
+        from .models.torch_convert import load_resync_checkpoint
+        variables = load_resync_checkpoint(path)
+    return gen, variables
+
+
+def _make_resync_transform(ckpt: str, wav: np.ndarray, bundle,
+                           n_joints: int = 135, n_mfcc: int = 13):
+    """Build the render_result pose_transform that applies a trained
+    ResyncNet to decoded KNN motion (`generate --resync`): per 4 s window,
+    (MFCC | motion) -> generator -> resynced motion. Stats come from the
+    train database bundle, as in ResyncGestureKNN.main:126-137."""
+    from .models.resync import predict_resynced_gesture, resync_stats
+    from .ops.mfcc import MFCCConfig, sphinx_mfcc_np
+
+    if bundle.mfcc is None or bundle.body is None:
+        raise SystemExit("--resync needs a train database bundle with "
+                         "'mfcc' and 'body' arrays (the stats source)")
+    m_mean, m_std, g_mean, g_std = resync_stats(
+        bundle.mfcc[:, :, :n_mfcc], bundle.body)
+    mfcc_full = sphinx_mfcc_np(wav, MFCCConfig(frate=C.FPS)).astype(
+        np.float32)[:, :n_mfcc]
+    gen, variables = _load_resync_variables(
+        ckpt, n_mfcc=n_mfcc, n_joints=n_joints, num_frames=C.NUM_FRAMES)
+
+    def transform(poses: np.ndarray) -> np.ndarray:
+        T = poses.shape[0]
+        W = T // C.NUM_FRAMES
+        mf = mfcc_full
+        if mf.shape[0] < W * C.NUM_FRAMES:
+            mf = np.pad(mf, ((0, W * C.NUM_FRAMES - mf.shape[0]), (0, 0)))
+        mf = mf[:W * C.NUM_FRAMES].reshape(W, C.NUM_FRAMES, n_mfcc)
+        motion = poses[:W * C.NUM_FRAMES].reshape(W, C.NUM_FRAMES,
+                                                  n_joints)
+        out = predict_resynced_gesture(gen, variables, mf, motion,
+                                       m_mean, m_std, g_mean, g_std)
+        resynced = poses.copy()
+        resynced[:W * C.NUM_FRAMES] = out.reshape(-1, n_joints)
+        return resynced
+
+    return transform
+
+
+def cmd_resync_apply(args):
+    """Stage-2 resync of KNN output (ResyncGestureKNN.py:43-87,155-175):
+    load knn_pred, normalize with the train database's stats, run the
+    trained generator over every sequence in one device program, and save
+    the resynced motion under the same npz schema."""
+    from .models.resync import predict_resynced_gesture, resync_stats
+
+    knn = np.load(args.knn)["knn_pred"]
+    test = np.load(args.test_data)
+    mfcc_test = test["mfcc"][:, :, :args.n_mfcc].astype(np.float32)
+    train = np.load(args.train_database)
+    m_mean, m_std, g_mean, g_std = resync_stats(
+        train["mfcc"][:, :, :args.n_mfcc], train["body"])
+
+    # knn_pred ships in the reference's (N, J, T) layout
+    # (ResyncGestureKNN.py:160); accept (N, T, J) via --layout ntj
+    if args.layout == "njt":
+        knn_motion = knn.transpose(0, 2, 1)
+    else:
+        knn_motion = knn
+    n_seq = args.frames or knn_motion.shape[0]
+    knn_motion = knn_motion[:n_seq].astype(np.float32)
+    mfcc_test = mfcc_test[:n_seq]
+    n_joints = knn_motion.shape[2]
+    num_frames = knn_motion.shape[1]
+    assert mfcc_test.shape[1] == num_frames, (mfcc_test.shape,
+                                              knn_motion.shape)
+
+    gen, variables = _load_resync_variables(
+        args.checkpoint, n_mfcc=args.n_mfcc, n_joints=n_joints,
+        num_frames=num_frames)
+    out = predict_resynced_gesture(gen, variables, mfcc_test, knn_motion,
+                                   m_mean, m_std, g_mean, g_std)
+    if args.layout == "njt":
+        out = out.transpose(0, 2, 1)
+    np.savez_compressed(args.out, knn_pred=out)
+    print(f"wrote {args.out}: resynced knn_pred {out.shape}")
 
 
 def cmd_train_resync(args):
@@ -1102,15 +1331,28 @@ def main(argv=None):
                     help="resume from <out>/latest if present")
     tv.set_defaults(fn=cmd_train_vqvae)
 
-    g = sub.add_parser("generate", help="wav -> gestures (match + decode)")
+    g = sub.add_parser("generate", help="wav -> gestures (match + decode, "
+                       "or the end2end GRU ablation)")
     g.add_argument("--wav", required=True)
-    g.add_argument("--train-database", required=True)
-    g.add_argument("--train-codebook", required=True)
-    g.add_argument("--codebook-signature", required=True)
+    g.add_argument("--model", choices=("matching", "end2end"),
+                   default="matching",
+                   help="'matching' = KNN against the database (default); "
+                        "'end2end' = the w/o-motion-matching GRU baseline "
+                        "(codebook/inference.py)")
+    g.add_argument("--train-database",
+                   help="required for --model matching (and for --resync)")
+    g.add_argument("--train-codebook")
+    g.add_argument("--codebook-signature")
     g.add_argument("--train-wavlm")
     g.add_argument("--train-wavvq")
     g.add_argument("--wavvq-checkpoint")
     g.add_argument("--wavlm-checkpoint")
+    g.add_argument("--end2end-checkpoint", metavar="CKPT",
+                   help="GeneratorGRU weights (torch end2end_*.bin or "
+                        "train-end2end orbax dir) for --model end2end")
+    g.add_argument("--max-frames", type=int, default=0,
+                   help="clamp end2end generation length "
+                        "(inference.py MAX_FRAMES)")
     g.add_argument("--vqvae-checkpoint", required=True)
     g.add_argument("--pipeline", required=True)
     g.add_argument("--config")
@@ -1119,7 +1361,30 @@ def main(argv=None):
     g.add_argument("--prefix", default="generated")
     g.add_argument("--smooth", action="store_true")
     g.add_argument("--video", action="store_true")
+    g.add_argument("--resync", metavar="CKPT",
+                   help="apply a trained ResyncNet to the decoded motion "
+                        "(torch best_model.pth or train-resync orbax dir)")
     g.set_defaults(fn=cmd_generate)
+
+    ra = sub.add_parser(
+        "resync-apply",
+        help="stage-2 ResyncNet application to KNN output "
+             "(ResyncGestureKNN.py:43-87)")
+    ra.add_argument("--knn", required=True,
+                    help="npz with knn_pred (N, J, T) motion")
+    ra.add_argument("--test-data", required=True,
+                    help="npz with test 'mfcc' (N, T, >=13)")
+    ra.add_argument("--train-database", required=True,
+                    help="npz with train 'mfcc' + 'body' (the stats "
+                         "source, ResyncGestureKNN.main:126-137)")
+    ra.add_argument("--checkpoint", required=True)
+    ra.add_argument("--out", required=True)
+    ra.add_argument("--frames", type=int, default=0,
+                    help="resync only the first N sequences (0 = all; "
+                         "the reference's frames arg)")
+    ra.add_argument("--layout", choices=("njt", "ntj"), default="njt")
+    ra.add_argument("--n-mfcc", type=int, default=13)
+    ra.set_defaults(fn=cmd_resync_apply)
 
     bd = sub.add_parser("build-db", help="build a speaker database from "
                         "(BVH, wav, transcript) recordings")
@@ -1181,9 +1446,18 @@ def main(argv=None):
     te.add_argument("--batch-size", type=int, default=32)
     te.set_defaults(fn=cmd_train_end2end)
 
-    pl = sub.add_parser("plot", help="training curves / phase-manifold PNGs")
+    pl = sub.add_parser("plot", help="training curves / phase-manifold / "
+                        "phase+audio debug PNGs")
     pl.add_argument("--history", help="scalars.jsonl path")
     pl.add_argument("--phase", help="Phase npz (dense or object format)")
+    pl.add_argument("--phase-debug", action="store_true",
+                    help="also render per-channel Phase2D_mono curve "
+                         "grids over random 32-frame windows "
+                         "(visualize_phase.py:34-83)")
+    pl.add_argument("--wav", help="wav/npz for time+frequency-domain "
+                    "debug views (visualize_phase.py:13-31)")
+    pl.add_argument("--seed", type=int, default=0,
+                    help="window picker seed for --phase-debug")
     pl.add_argument("--tags", nargs="*")
     pl.add_argument("--out", default="./plots")
     pl.set_defaults(fn=cmd_plot)

@@ -11,6 +11,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..core import constants as C
@@ -100,6 +101,53 @@ class Discriminator(nn.Module):
         x = avg_pool1d(x)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(1, use_bias=False, name="critic")(x)
+
+
+def resync_stats(mfcc: np.ndarray, motion: np.ndarray):
+    """Per-channel mean/std over (seq, time) — calc_data_stats semantics
+    (data_processing.py:172-182, fed NTC-transposed arrays by
+    ResyncGestureKNN.main:134-137). mfcc: (N, T, n_mfcc) raw train-db
+    features; motion: (N, T, J). Returns (mfcc_mean, mfcc_std,
+    motion_mean, motion_std), each (C,) float32."""
+    out = []
+    for feat in (mfcc, motion):
+        feat = np.asarray(feat, np.float32)
+        out += [feat.mean(axis=(0, 1)), feat.std(axis=(0, 1))]
+    return tuple(out)
+
+
+def predict_resynced_gesture(gen: ResyncNet, variables, mfcc: np.ndarray,
+                             knn_motion: np.ndarray,
+                             mfcc_mean, mfcc_std,
+                             motion_mean, motion_std) -> np.ndarray:
+    """Apply a trained ResyncNet to KNN output motion — the reference's
+    predict_resynced_gesture (ResyncGestureKNN.py:43-87): normalize the
+    test MFCCs with the train-db audio stats and the KNN motion with the
+    train-db motion stats, run the generator in eval mode (BatchNorm
+    running averages), and denormalize back to motion space. The
+    reference loops sequence-at-a-time on host; here the whole batch is
+    ONE jitted device program.
+
+    mfcc: (N, T, n_mfcc) RAW test features; knn_motion: (N, T, J) RAW
+    KNN-searched motion. Returns (N, T, J) resynced motion (float32).
+    """
+    mfcc = np.asarray(mfcc, np.float32)
+    knn_motion = np.asarray(knn_motion, np.float32)
+    eps = np.float32(1e-8)  # utils.normalize_data (utils.py:8-9)
+    mfcc_n = (mfcc - np.asarray(mfcc_mean, np.float32)) / (
+        np.asarray(mfcc_std, np.float32) + eps)
+    mmean = np.asarray(motion_mean, np.float32)
+    mstd = np.asarray(motion_std, np.float32)
+    motion_n = (knn_motion - mmean) / (mstd + eps)
+    x = jnp.asarray(np.concatenate([mfcc_n, motion_n], axis=-1))
+
+    @jax.jit
+    def fwd(variables, x):
+        out = gen.apply(variables, x, train=False)
+        # inv_normalize_data (utils.py:12-13): no eps on the way back
+        return out * mstd + mmean
+
+    return np.asarray(fwd(variables, x))
 
 
 def gradient_penalty(disc_apply, variables, real: jnp.ndarray,

@@ -291,3 +291,38 @@ def convert_seq2seq(state_dict: Dict, n_layers: int = 1) -> Dict:
 
     return {"params": {"encoder": enc, "decoder": dec},
             "batch_stats": {"decoder": {"pre_bn": bn_s}}}
+
+
+def convert_resync(state_dict: Dict) -> Dict:
+    """Reference ResyncNet state_dict (Speech2GestureMatching/model.py:
+    50-93; saved under 'model_resync_state_dict',
+    train_resync_gestureknn.py:119-128) -> flax variables for
+    models.resync.ResyncNet. Each double_conv Sequential holds Conv1d at
+    .0/.3 and BatchNorm1d at .1/.4 (model.py:20-29); the UNet blocks map
+    dconv_down{1..4} -> down{1..4}, dconv_up{3,2,1} -> up{3,2,1}, and
+    conv_last -> last."""
+    sd = strip_prefix(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    blocks = [(f"dconv_down{i}", f"down{i}") for i in (1, 2, 3, 4)]
+    blocks += [(f"dconv_up{i}", f"up{i}") for i in (3, 2, 1)]
+    for tkey, fkey in blocks:
+        p: Dict = {}
+        s: Dict = {}
+        for i, (conv_idx, bn_idx) in enumerate(((0, 1), (3, 4))):
+            p[f"conv{i}"] = conv1d(sd, f"{tkey}.{conv_idx}")
+            bp, bs = _batchnorm(sd, f"{tkey}.{bn_idx}")
+            p[f"norm{i}"], s[f"norm{i}"] = bp, bs
+        params[fkey], stats[fkey] = p, s
+    params["last"] = conv1d(sd, "conv_last")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_resync_checkpoint(path: str):
+    """Load a reference resync checkpoint ({'model_resync_state_dict'},
+    train_resync_gestureknn.save_model) or a bare state_dict and
+    convert."""
+    ckpt = _torch_load_reference(path)
+    sd = ckpt.get("model_resync_state_dict", ckpt) if isinstance(
+        ckpt, dict) else ckpt
+    return convert_resync(sd)
