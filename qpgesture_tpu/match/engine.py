@@ -209,11 +209,15 @@ def stage_cosine_features(flat: np.ndarray, feat_dtype: str) -> np.ndarray:
     path (``parallel.sharded_match.sharded_candidate_reduce``) so both
     stage bit-identical feature rows."""
     import ml_dtypes
+    dtypes = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16}
+    if feat_dtype not in dtypes:
+        raise ValueError(
+            f"unsupported residency feat_dtype {feat_dtype!r}: expected "
+            f"'float32' (no staging) or one of {sorted(dtypes)}")
     flat = np.asarray(flat, np.float32)
     n = np.linalg.norm(flat, axis=-1, keepdims=True)
     flat = flat / np.where(n > 0, n, 1.0)
-    return flat.astype({"bfloat16": ml_dtypes.bfloat16,
-                        "float16": np.float16}[feat_dtype])
+    return flat.astype(dtypes[feat_dtype])
 
 
 def device_match_db(cfg: MatchConfig, db: MatchDatabase) -> DeviceMatchDB:
@@ -277,7 +281,14 @@ def estimate_devdb_bytes(cfg: MatchConfig, db: MatchDatabase) -> int:
 
 def device_hbm_bytes(device=None) -> Optional[int]:
     """The device's memory capacity in bytes, or None when the backend
-    doesn't report it (CPU)."""
+    doesn't report it (CPU). QPG_HBM_BYTES overrides the report — the
+    injection seam that lets the auto-spill branch run (and be TESTED)
+    on backends with no capacity report, and lets operators pin the
+    budget below a shared chip's nominal HBM."""
+    import os
+    env = os.environ.get("QPG_HBM_BYTES")
+    if env:
+        return int(env)
     device = device or jax.devices()[0]
     try:
         stats = device.memory_stats()

@@ -204,6 +204,14 @@ class Seq2SeqNet(nn.Module):
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  poses: jnp.ndarray, vid: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
+        if train and self.is_initializing():
+            # batch_stats cannot be CREATED inside the variable_carry
+            # scan; without this guard the failure is an opaque flax
+            # scan error instead of the fix
+            raise ValueError(
+                "Seq2SeqNet must be initialized with train=False (the "
+                "eval path creates the BatchNorm batch_stats); apply "
+                "with train=True and mutable=['batch_stats'] afterwards")
         enc_out, enc_hidden = TextEncoderRNN(
             self.vocab, self.embed, self.hidden, self.n_layers,
             self.dropout, name="encoder")(tokens, lengths, train=train)

@@ -53,6 +53,61 @@ def plot_scalar_history(history_path: str, out_path: str,
     return out_path
 
 
+def plot_wav_debug(wav: np.ndarray, sr: int, out_path: str) -> str:
+    """Audio debug views (process/visualize_phase.py:13-31): the
+    normalized time-domain waveform, plus the frequency-domain magnitude
+    spectrum the reference's wav inspection pairs with it."""
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    peak = np.abs(wav).max()
+    if peak > 0:
+        wav = wav / peak  # read_wav normalizes to max |amplitude| = 1
+    plt = _plt()
+    fig, (ax_t, ax_f) = plt.subplots(2, 1, figsize=(8, 5))
+    time = np.arange(len(wav)) / sr
+    ax_t.plot(time, wav, c="b", lw=0.5)
+    ax_t.set_xlabel("time")
+    ax_t.set_ylabel("am")
+    spec = np.abs(np.fft.rfft(wav))
+    freqs = np.fft.rfftfreq(len(wav), d=1.0 / sr)
+    ax_f.semilogy(freqs, np.maximum(spec, 1e-8), c="b", lw=0.5)
+    ax_f.set_xlabel("frequency (Hz)")
+    ax_f.set_ylabel("|X(f)|")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
+def plot_phase_channels(segments, out_path: str) -> str:
+    """Per-frame phase curves, one stacked subplot per channel — the
+    Phase2D_mono grid (visualize_phase.py:34-62 via Plotting.py:149-181):
+    each curve is amp * sin(2*pi*phase) over the window, y clipped to
+    +-0.9, axes hidden. `segments` is a list of (T, 4, C) dense phase
+    windows; several segments overlay per axis (the draw_3 'topk' view)."""
+    segments = [np.asarray(s, np.float32) for s in segments]
+    assert segments and all(s.ndim == 3 and s.shape[1] == 4
+                            for s in segments), \
+        [s.shape for s in segments]
+    channels = segments[0].shape[2]
+    plt = _plt()
+    fig, axes = plt.subplots(channels, 1,
+                             figsize=(1.2 * max(1, len(segments)), 4),
+                             squeeze=False)
+    for k in range(channels):
+        ax = axes[k, 0]
+        for seg in segments:
+            curve = seg[:, 2, k] * np.sin(2 * np.pi * seg[:, 0, k])
+            ax.plot(np.arange(len(curve)), curve)
+        ax.set_ylim(-0.9, 0.9)
+        ax.axes.xaxis.set_visible(False)
+        ax.axes.yaxis.set_visible(False)
+    fig.tight_layout()
+    fig.subplots_adjust(wspace=0, hspace=0.1)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
 def plot_phase_manifold(phase: np.ndarray, out_path: str,
                         max_points: int = 5000) -> str:
     """PCA scatter of the phase manifold (the Plotting.py PCA2D view):

@@ -224,7 +224,7 @@ def test_cli_warmup_serving_and_rawpose(tmp_path, rng, capsys):
     assert "raw-pose batch C=2: first call" in out
 
 
-def test_cli_match_feat_dtype_and_sharded_flags(tmp_path, rng):
+def test_cli_match_feat_dtype_and_sharded_flags(tmp_path, rng, capsys):
     """--feat-dtype plumbs residency into the staged DB; --sharded always
     routes through predict_sharded (auto stays single-device on CPU where
     no capacity is reported). The wavlm preset exercises the cosine path
@@ -267,3 +267,31 @@ def test_cli_match_feat_dtype_and_sharded_flags(tmp_path, rng):
     cli_main(base + ["--sharded", "never", "--out", out_c])
     # sharded is bit-identical to single-device at f32
     np.testing.assert_array_equal(res_b, load_result(out_c))
+
+    # --sharded auto SPILLS when the staged DB exceeds the HBM budget
+    # (VERDICT r4 #5): QPG_HBM_BYTES injects a tiny fake capacity — the
+    # CPU backend reports none, so this branch was previously untestable —
+    # and the spilled result must stay bit-identical to single-device
+    out_d = str(tmp_path / "res_d.npz")
+    capsys.readouterr()
+    os.environ["QPG_HBM_BYTES"] = "4096"  # any real DB exceeds 60% of 4 kB
+    try:
+        cli_main(base + ["--sharded", "auto", "--out", out_d])
+    finally:
+        del os.environ["QPG_HBM_BYTES"]
+    # it must actually have TAKEN the spill branch (cli.py prints the
+    # routing decision), and the spilled codes stay bit-identical
+    assert "sharding J axis" in capsys.readouterr().out
+    np.testing.assert_array_equal(load_result(out_d), load_result(out_c))
+
+    # and a huge injected capacity keeps auto on the single-device path
+    import qpgesture_tpu.match.engine as eng
+    os.environ["QPG_HBM_BYTES"] = str(1 << 40)
+    try:
+        assert eng.device_hbm_bytes() == 1 << 40
+        out_e = str(tmp_path / "res_e.npz")
+        cli_main(base + ["--sharded", "auto", "--out", out_e])
+    finally:
+        del os.environ["QPG_HBM_BYTES"]
+    assert "sharding J axis" not in capsys.readouterr().out
+    np.testing.assert_array_equal(load_result(out_e), load_result(out_c))

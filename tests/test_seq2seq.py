@@ -101,9 +101,6 @@ def test_encoder_packed_semantics():
     # reuse the Seq2Seq converter by aliasing the keys it expects
     sd = {f"encoder.{k}": v for k, v in tenc.state_dict().items()}
 
-    class _Dummy(dict):
-        pass
-
     full = dict(sd)
     # minimal decoder params so convert_seq2seq can run: not used here
     import torch.nn as tnn
