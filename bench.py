@@ -655,43 +655,23 @@ def main():
         out["elapsed_s"] = round(_elapsed(), 1)
         _emit(out)
 
-    for mode in ("wavvq", "wavlm"):
-        if begin(mode, reserve_s=60):
-            out[mode] = _bench_mode(mode, rng, J, W, bundle, codes,
-                                    signature, decode, model, params_d,
-                                    cb_d, peak)
-            if mode == "wavvq":
-                out["value"] = out[mode]["gest_s_per_s"]
-                out["vs_baseline"] = out[mode]["vs_baseline"]
-            done(mode)
-
-    if begin("train_vqvae", reserve_s=90):
-        out["train_vqvae"] = _bench_train(rng, peak)
-        done("train_vqvae")
-    if begin("rawpose_knn_batch16", reserve_s=60):
-        out["rawpose_knn_batch16"] = _bench_rawpose(rng)
-        done("rawpose_knn_batch16")
-    if begin("pae_extract", reserve_s=60):
-        out["pae_extract"] = _bench_pae(rng)
-        done("pae_extract")
-
     # raw-wav ingress runs in a SUBPROCESS per mode: the fused
     # encoder+match+decode program is the largest XLA compile in the repo
     # and relay-attached chips can stall or drop the compile RPC
     # (STATUS.md 'relay flakiness'); isolation keeps one bad compile from
     # sinking the whole bench, and the probes share the persistent compile
-    # cache (.jax_cache) with this process. Probes run LAST: every cheap
-    # section is already captured if one stalls.
+    # cache (.jax_cache) with this process.
     import subprocess
-    rawwav = out.setdefault("rawwav", {})
-    for mode in rawwav_modes:
+
+    def run_rawwav_probe(mode):
         name = f"rawwav:{mode}"
         # reserve: enough for a warm-cache probe; the hard per-probe
         # timeout is clamped to what's left of the budget so a cold
         # WavLM compile can use slack but never overshoot
         if not begin(name, reserve_s=120):
-            continue
+            return
         probe_timeout = max(60.0, min(900.0, _remaining() - 30.0))
+        rawwav = out.setdefault("rawwav", {})
         try:
             proc = subprocess.run(
                 [sys.executable,
@@ -711,6 +691,36 @@ def main():
         except subprocess.TimeoutExpired:
             rawwav[mode] = {"error": "timeout (relay compile stall)"}
         done(name)
+
+    for mode in ("wavvq", "wavlm"):
+        if begin(mode, reserve_s=60):
+            out[mode] = _bench_mode(mode, rng, J, W, bundle, codes,
+                                    signature, decode, model, params_d,
+                                    cb_d, peak)
+            if mode == "wavvq":
+                out["value"] = out[mode]["gest_s_per_s"]
+                out["vs_baseline"] = out[mode]["vs_baseline"]
+            done(mode)
+
+    # the flagship raw-wav probe runs RIGHT AFTER the core modes — on the
+    # r5 capture the probes-run-last order starved it: an 18-min relay
+    # stall in setup plus the aux sections left it only a stalled-relay
+    # window and the budget skipped wavlm_split entirely
+    if rawwav_modes:
+        run_rawwav_probe(rawwav_modes[0])
+
+    if begin("train_vqvae", reserve_s=90):
+        out["train_vqvae"] = _bench_train(rng, peak)
+        done("train_vqvae")
+    if begin("rawpose_knn_batch16", reserve_s=60):
+        out["rawpose_knn_batch16"] = _bench_rawpose(rng)
+        done("rawpose_knn_batch16")
+    if begin("pae_extract", reserve_s=60):
+        out["pae_extract"] = _bench_pae(rng)
+        done("pae_extract")
+
+    for mode in rawwav_modes[1:]:
+        run_rawwav_probe(mode)
 
     # regression guard: runs on EVERY bench invocation against the newest
     # parseable driver snapshot (VERDICT r4 #3 — previously only an unused
