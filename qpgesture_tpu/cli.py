@@ -992,8 +992,14 @@ def cmd_plot(args):
             sr = C.SR
         wrote.append(plot_wav_debug(
             wav, sr, os.path.join(args.out, "wav_debug.png")))
+    if args.merge_figs:
+        from .render.plots import merge_frames
+        wrote.append(merge_frames(
+            args.merge_figs, os.path.join(args.out, "merged_figs.mp4"),
+            count=args.count, fps=args.fps))
     if not wrote:
-        raise SystemExit("pass --history, --phase and/or --wav")
+        raise SystemExit("pass --history, --phase, --wav and/or "
+                         "--merge-figs")
     for w in wrote:
         print(f"wrote {w}")
 
@@ -1459,6 +1465,14 @@ def main(argv=None):
     pl.add_argument("--seed", type=int, default=0,
                     help="window picker seed for --phase-debug")
     pl.add_argument("--tags", nargs="*")
+    pl.add_argument("--merge-figs", metavar="PATTERN",
+                    help="stitch a numbered image sequence into a video "
+                         "(merge_figs.py:5-15); format string with one "
+                         "{} slot, e.g. 'figs/{}.jpg'")
+    pl.add_argument("--count", type=int, default=20,
+                    help="frame count for --merge-figs")
+    pl.add_argument("--fps", type=int, default=30,
+                    help="frame rate for --merge-figs")
     pl.add_argument("--out", default="./plots")
     pl.set_defaults(fn=cmd_plot)
 

@@ -136,3 +136,52 @@ def plot_phase_manifold(phase: np.ndarray, out_path: str,
     fig.savefig(out_path, dpi=110)
     plt.close(fig)
     return out_path
+
+
+def merge_frames(pattern: str, out_path: str, count: int,
+                 fps: int = 30) -> str:
+    """Stitch a numbered image sequence into a video
+    (process/merge_figs.py:5-15, which the reference pairs with the
+    per-update PAE training snapshots, PAE.py:468). `pattern` is a
+    format string with one `{}` slot (e.g. 'figs/{}.jpg'); frames
+    0..count-1 that exist on disk are included, missing indices are
+    skipped with a note. Writes mp4 via the ffmpeg matplotlib writer
+    when available, else an animated GIF (pillow) — the same fallback
+    ladder as render/visualize.py."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    from matplotlib import animation
+
+    paths = [pattern.format(i) for i in range(count)]
+    frames = [p for p in paths if os.path.exists(p)]
+    if not frames:
+        raise ValueError(f"no frames match {pattern!r} for 0..{count - 1}")
+    if len(frames) < count:
+        print(f"merge_frames: {count - len(frames)} of {count} frames "
+              "missing, skipped")
+    first = mpimg.imread(frames[0])
+    h, w = first.shape[:2]
+    plt = _plt()
+    fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.set_axis_off()
+    im = ax.imshow(first)
+
+    def animate(i):
+        im.set_data(first if i == 0 else mpimg.imread(frames[i]))
+        return [im]
+
+    ani = animation.FuncAnimation(fig, animate, frames=len(frames),
+                                  interval=1000 / fps)
+    try:
+        if animation.writers.is_available("ffmpeg"):
+            ani.save(out_path, fps=fps, writer="ffmpeg")
+        else:
+            out_path = os.path.splitext(out_path)[0] + ".gif"
+            ani.save(out_path, fps=min(fps, 25), writer="pillow")
+    finally:
+        plt.close(fig)
+    return out_path

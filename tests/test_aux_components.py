@@ -107,6 +107,24 @@ def test_plot_cli_and_library(tmp_path, rng):
                  "wav_debug.png", "phase_manifold.png"):
         assert os.path.getsize(os.path.join(out2, name)) > 1000, name
 
+    # --merge-figs: numbered image sequence -> video (merge_figs.py:5-15),
+    # with missing indices skipped rather than crashing
+    figs = tmp_path / "figs"
+    figs.mkdir()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    for i in (0, 1, 3):
+        fig, ax = plt.subplots(figsize=(1.6, 1.2))
+        ax.plot([0, 1], [i, 1 - i])
+        fig.savefig(figs / f"{i}.png")
+        plt.close(fig)
+    out3 = str(tmp_path / "plots3")
+    cli_main(["plot", "--merge-figs", str(figs) + "/{}.png",
+              "--count", "4", "--fps", "5", "--out", out3])
+    vids = [f for f in os.listdir(out3) if f.startswith("merged_figs")]
+    assert vids and os.path.getsize(os.path.join(out3, vids[0])) > 500
+
 
 def test_train_vqvae_resume(tmp_path, rng):
     """Failure recovery: a crashed run resumes from the rolling 'latest'

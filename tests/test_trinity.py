@@ -25,9 +25,18 @@ from test_motion import make_bvh_text
     "Hello, World!", "shouldn't we go?", "  WEIRD   spacing\tstuff  ",
     "num6ers & sym*bols", "a.b,c!d?e", ""])
 def test_normalize_string_matches_reference(s):
-    sys.path.insert(0, "/root/reference/process")
+    # load by file path under a unique module name: a plain
+    # `from utils.data_utils import ...` collides with the
+    # Speech2GestureMatching `utils` module other cross-tests cache in
+    # sys.modules
+    import importlib.util
+    path = "/root/reference/process/utils/data_utils.py"
     try:
-        from utils.data_utils import normalize_string as ref_norm
+        spec = importlib.util.spec_from_file_location(
+            "_ref_process_data_utils", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ref_norm = mod.normalize_string
     except Exception:
         pytest.skip("reference data_utils not importable")
     assert normalize_string(s) == ref_norm(s)
