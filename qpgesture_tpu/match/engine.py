@@ -20,6 +20,7 @@ documents its deviations from the reference (stable ranks on ties).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -441,6 +442,69 @@ def _smallest2(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.top_k(-x, 2)[1]
 
 
+# Selection tabulation (see _tabulate_selection). Env knobs are read once at
+# import so a toggle cannot silently disagree with an already-jitted program.
+_SEL_TABLES = os.environ.get("QPG_SELECTION_TABLES", "1") != "0"
+_SEL_MIN_STEPS = int(os.environ.get("QPG_SELECTION_TABLES_MIN", "2"))
+_SEL_CHUNK_ROWS = int(os.environ.get("QPG_SELECTION_CHUNK", "128"))
+
+
+def _tabulate_selection(cfg: MatchConfig, dev: DeviceDatabase,
+                        tables: DeviceTables, scale: jnp.ndarray):
+    """Precompute the scan's candidate selection for every (step, prev_code).
+
+    The fused scan's selection — top-k over the 512-way combined score —
+    depends only on the step's rank row and the carried prev_code, and every
+    score term is an exact integer multiple of 1/K (see _fuse_scan), so the
+    selection can be tabulated OUTSIDE the sequential scan as one batched
+    top_k over a (Q, 512 prev-codes, 512 candidates) tensor: the TPU does
+    the 512x more selection work in parallel on the VPU, and the
+    latency-bound sequential scan shrinks to gathers + (for phase modes) two
+    phase-continuity dot products per step. Bit-identical to the in-scan
+    selection: the same integer score vector goes through the same top_k /
+    argmin ops.
+
+    Returns (sel_a, sel_b):
+      no-phase modes          -> sel_a (Q, P) the chosen candidate, sel_b None
+      phase + one side        -> sel_a (Q, P, 2) the top-2 order, sel_b None
+      phase + both sides      -> sel_a (Q, P) audio argmin, sel_b (Q, P) text
+    """
+    use_freq = cfg.use_freq and cfg.freq_weight != 0.0
+    base = dev.sig_rank * scale                              # (P, N) i32
+    if use_freq:
+        base = base + dev.freq_rank[None, :]
+
+    def chunked(f, R):
+        """Apply f((q, P, N) scores) -> (q, P, ...) over row-chunks of R so
+        the materialized score tensor stays <= chunk*P*N*4 bytes."""
+        Q = R.shape[0]
+        ch = _SEL_CHUNK_ROWS
+        if Q <= ch:
+            return f(base[None, :, :] + R[:, None, :])
+        pad = (-Q) % ch
+        Rp = jnp.pad(R, ((0, pad), (0, 0))).reshape(-1, ch, R.shape[1])
+        out = jax.lax.map(lambda Rc: f(base[None, :, :] + Rc[:, None, :]),
+                          Rp)
+        return out.reshape((-1,) + out.shape[2:])[:Q]
+
+    r_a = tables.aud_rank * scale if cfg.use_aud else None
+    r_t = tables.txt_rank * scale if cfg.use_txt else None
+    if not cfg.use_phase:
+        r = r_a + r_t if (cfg.use_aud and cfg.use_txt) else \
+            (r_a if cfg.use_aud else r_t)
+        k = cfg.desired_k
+        sel_a = chunked(
+            lambda s: jax.lax.top_k(-s, k + 1)[1][..., k].astype(jnp.int32),
+            r)
+        return sel_a, None
+    if cfg.use_aud and cfg.use_txt:
+        amin = lambda s: jnp.argmin(s, axis=-1).astype(jnp.int32)
+        return chunked(amin, r_a), chunked(amin, r_t)
+    sel_a = chunked(lambda s: jax.lax.top_k(-s, 2)[1].astype(jnp.int32),
+                    r_a if cfg.use_aud else r_t)
+    return sel_a, None
+
+
 def _phase_continuity(prev, head):
     """cos_dist(concat(prev[-5:], head[:3]), concat(prev[-3:], head[:5]))."""
     a = jnp.concatenate((prev[3:], head[:3]), axis=0).reshape(-1)
@@ -460,13 +524,19 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
                rand_bits: Optional[jnp.ndarray],
                reset_mask: Optional[jnp.ndarray] = None,
                reset_code: Optional[jnp.ndarray] = None,
-               reset_phase: Optional[jnp.ndarray] = None):
+               reset_phase: Optional[jnp.ndarray] = None,
+               sel: Optional[tuple] = None):
     """Phase 2: sequential rank fusion + phase re-rank + seed chain.
 
     reset_mask/code/phase (each length Q) re-seed the chain mid-scan — the
     batched-serving path where several independent clips run in one program
     (each clip's first step resets to its own init instead of chaining from
     the previous clip).
+
+    sel: optional precomputed (sel_a, sel_b) selection tables from
+    _tabulate_selection; when absent they are computed here for Q >=
+    _SEL_MIN_STEPS (the batched-clips path precomputes them on the flat
+    tables so the per-lane vmap never re-materializes the score tensor).
     """
     Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
     # freq_weight=0 means the frequency term contributes nothing (same as
@@ -498,11 +568,15 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         reset_phase = jnp.zeros((Q, 8, 16), jnp.float32)
 
     use_phase, use_aud, use_txt = cfg.use_phase, cfg.use_aud, cfg.use_txt
+    if sel is None and _SEL_TABLES and Q >= _SEL_MIN_STEPS:
+        sel = _tabulate_selection(cfg, dev, tables, _SCALE)
+    use_sel = sel is not None
+    sel_a, sel_b = sel if use_sel else (None, None)
 
     def step(carry, xs):
         prev_code, prev_phase = carry
         (a_rank, a_blk, a_seq, a_start, t_rank, t_blk, t_seq, t_start,
-         is_last, rbit, do_reset, r_code, r_phase) = xs
+         is_last, rbit, do_reset, r_code, r_phase, s_a, s_b) = xs
         prev_code = jnp.where(do_reset, r_code, prev_code)
         prev_phase = jnp.where(do_reset, r_phase, prev_phase)
 
@@ -512,51 +586,49 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         # order-exact, no float summation ambiguity. pos_rank is a gather
         # from the precomputed per-prev-code rank table (identical values
         # to ranking sig_dist[prev_code] here, without the per-step sort).
-        pos_rank = dev.sig_rank[prev_code]
-        base = pos_rank * _SCALE + dev.freq_rank if use_freq \
-            else pos_rank * _SCALE
+        # With selection tables (use_sel) even this is precomputed: the
+        # step gathers its selection at prev_code instead of scoring.
+        if not use_sel:
+            pos_rank = dev.sig_rank[prev_code]
+            base = pos_rank * _SCALE + dev.freq_rank if use_freq \
+                else pos_rank * _SCALE
+            a_rank = a_rank * _SCALE
+            t_rank = t_rank * _SCALE
 
         out_phase = prev_phase
         vote = jnp.int32(0)
-        a_rank = a_rank * _SCALE
-        t_rank = t_rank * _SCALE
         if not use_phase and use_aud and use_txt:
-            combined = base + a_rank + t_rank
-            c = _smallest_idx(combined, cfg.desired_k)
+            c = s_a[prev_code] if use_sel else \
+                _smallest_idx(base + a_rank + t_rank, cfg.desired_k)
             block = jnp.where(rbit > 0, a_blk[c], t_blk[c])
         elif not use_phase and use_aud:
-            c = _smallest_idx(base + a_rank, cfg.desired_k)
+            c = s_a[prev_code] if use_sel else \
+                _smallest_idx(base + a_rank, cfg.desired_k)
             block = a_blk[c]
         elif not use_phase and use_txt:
-            c = _smallest_idx(base + t_rank, cfg.desired_k)
+            c = s_a[prev_code] if use_sel else \
+                _smallest_idx(base + t_rank, cfg.desired_k)
             block = t_blk[c]
-        elif use_phase and use_aud and not use_txt:
-            order = _smallest2(base + a_rank)
-            h0, tl0 = _phase_head_tail(dev, a_seq[order[0]],
-                                       a_start[order[0]])
-            h1, tl1 = _phase_head_tail(dev, a_seq[order[1]],
-                                       a_start[order[1]])
+        elif use_phase and (use_aud != use_txt):
+            s_rank = a_rank if use_aud else t_rank
+            s_blk = a_blk if use_aud else t_blk
+            s_seq = a_seq if use_aud else t_seq
+            s_start = a_start if use_aud else t_start
+            order = s_a[prev_code] if use_sel else \
+                _smallest2(base + s_rank)
+            h0, tl0 = _phase_head_tail(dev, s_seq[order[0]],
+                                       s_start[order[0]])
+            h1, tl1 = _phase_head_tail(dev, s_seq[order[1]],
+                                       s_start[order[1]])
             d0 = _phase_continuity(prev_phase, h0)
             d1 = _phase_continuity(prev_phase, h1)
             pick0 = d0 <= d1
             c = jnp.where(pick0, order[0], order[1])
-            block = a_blk[c]
-            out_phase = jnp.where(pick0, tl0, tl1)
-        elif use_phase and not use_aud and use_txt:
-            order = _smallest2(base + t_rank)
-            h0, tl0 = _phase_head_tail(dev, t_seq[order[0]],
-                                       t_start[order[0]])
-            h1, tl1 = _phase_head_tail(dev, t_seq[order[1]],
-                                       t_start[order[1]])
-            d0 = _phase_continuity(prev_phase, h0)
-            d1 = _phase_continuity(prev_phase, h1)
-            pick0 = d0 <= d1
-            c = jnp.where(pick0, order[0], order[1])
-            block = t_blk[c]
+            block = s_blk[c]
             out_phase = jnp.where(pick0, tl0, tl1)
         elif use_phase and use_aud and use_txt:
-            ca = jnp.argmin(base + a_rank)
-            ct = jnp.argmin(base + t_rank)
+            ca = s_a[prev_code] if use_sel else jnp.argmin(base + a_rank)
+            ct = s_b[prev_code] if use_sel else jnp.argmin(base + t_rank)
             ha, tla = _phase_head_tail(dev, a_seq[ca], a_start[ca])
             ht, tlt = _phase_head_tail(dev, t_seq[ct], t_start[ct])
             da = _phase_continuity(prev_phase, ha)
@@ -597,6 +669,8 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         reset_mask,
         reset_code,
         reset_phase,
+        sel_a if use_sel else zeros_i,
+        sel_b if (use_sel and sel_b is not None) else zeros_i,
     )
     if init_phase is None:
         init_phase = jnp.zeros((8, 16), dtype=jnp.float32)
@@ -632,14 +706,26 @@ def _fuse_scan_clips(cfg: MatchConfig, n_steps: int, clips: int,
         txt_seq=resh(tables.txt_seq), txt_start=resh(tables.txt_start),
         n_steps=n_steps)
 
-    def one(tab_c, rb_c, rm_c, rc_c, rp_c):
+    # Tabulate selection on the FLAT tables (one chunk-bounded pass over all
+    # C*W*S steps) so the per-lane vmap never re-materializes score tensors.
+    if _SEL_TABLES and Q // clips >= _SEL_MIN_STEPS:
+        use_freq = cfg.use_freq and cfg.freq_weight != 0.0
+        scale = jnp.int32(round(1.0 / cfg.freq_weight)) if use_freq \
+            else jnp.int32(1)
+        sel_a, sel_b = _tabulate_selection(cfg, dev, tables, scale)
+        sel = (resh(sel_a), resh(sel_b))
+    else:
+        sel = (None, None)
+
+    def one(tab_c, rb_c, rm_c, rc_c, rp_c, sel_c):
+        sel_kw = None if sel_c[0] is None else sel_c
         return _fuse_scan(cfg, n_steps, dev, tab_c,
                           jnp.int32(0), jnp.zeros((8, 16), jnp.float32),
-                          rb_c, rm_c, rc_c, rp_c)
+                          rb_c, rm_c, rc_c, rp_c, sel=sel_kw)
 
     blocks, phases, votes = jax.vmap(one)(
         tab, resh(rand_bits), resh(reset_mask), resh(reset_code),
-        resh(reset_phase))
+        resh(reset_phase), sel)
     return (blocks.reshape((Q,) + blocks.shape[2:]),
             phases.reshape((Q,) + phases.shape[2:]),
             votes.reshape((Q,) + votes.shape[2:]))

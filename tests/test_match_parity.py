@@ -704,3 +704,55 @@ def test_feat_dtype_wavvq_mode_unaffected():
     got = CodeKNNEngine(cfg_lp, db).predict(
         ta, tc, rng=np.random.RandomState(cfg.seed))
     np.testing.assert_array_equal(want.codes, got.codes)
+
+
+@pytest.mark.parametrize("preset", ["wavvq", "shipped", "no_phase"])
+def test_selection_tables_ab_parity(preset, tmp_path):
+    """The tabulated selection path (QPG_SELECTION_TABLES=1, the default:
+    candidate top-k precomputed per (step, prev_code) outside the scan) must
+    be bit-identical to the legacy in-scan selection. The knob is read at
+    import (a mid-process flip could silently reuse a jitted program), so
+    the legacy path runs in a subprocess on the same deterministic fixture."""
+    import os
+    import subprocess
+    import sys
+    import zlib
+
+    seed = 2024 + zlib.crc32(preset.encode()) % 1000
+    rng = np.random.RandomState(seed)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    cfg = MatchConfig(**{**MATCH_PRESETS[preset].__dict__,
+                         "codebook_size": 64})
+    db, ta, tc = _stage(cfg, fx)
+    want = CodeKNNEngine(cfg, db).predict(
+        ta, tc, rng=np.random.RandomState(cfg.seed))
+
+    out = str(tmp_path / "legacy.npz")
+    script = f"""
+import numpy as np
+import zlib
+from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
+from qpgesture_tpu.match import engine as E
+assert not E._SEL_TABLES
+import sys; sys.path.insert(0, {os.path.dirname(__file__)!r})
+from fixtures import make_fixture
+from test_match_parity import _stage
+rng = np.random.RandomState({seed})
+fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+cfg = MatchConfig(**{{**MATCH_PRESETS[{preset!r}].__dict__,
+                     "codebook_size": 64}})
+db, ta, tc = _stage(cfg, fx)
+res = E.CodeKNNEngine(cfg, db).predict(
+    ta, tc, rng=np.random.RandomState(cfg.seed))
+np.savez({out!r}, codes=res.codes)
+"""
+    env = {**os.environ, "QPG_SELECTION_TABLES": "0",
+           "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": os.pathsep.join(
+               [os.path.dirname(os.path.dirname(__file__)),
+                os.environ.get("PYTHONPATH", "")])}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    subprocess.run([sys.executable, "-c", script], env=env, check=True,
+                   timeout=300)
+    got = np.load(out)["codes"]
+    np.testing.assert_array_equal(want.codes, got)
