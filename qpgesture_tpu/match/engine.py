@@ -111,7 +111,8 @@ def segment_min_argmin(dist: jnp.ndarray, seg: jnp.ndarray, k: int,
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["aud_rank", "aud_block", "aud_seq", "aud_start",
-                      "txt_rank", "txt_block", "txt_seq", "txt_start"],
+                      "txt_rank", "txt_block", "txt_seq", "txt_start",
+                      "aud_pos", "txt_pos"],
          meta_fields=["n_steps"])
 @dataclass
 class DeviceTables:
@@ -125,10 +126,17 @@ class DeviceTables:
     txt_seq: Optional[jnp.ndarray]
     txt_start: Optional[jnp.ndarray]
     n_steps: int
+    # (Q, 512) i32 flat argmin position (seq * B + block) — the row index
+    # into DeviceDatabase's precomputed head/tail grids, so the chain
+    # backend gathers 128-float contiguous rows instead of re-slicing
+    # phase windows (seq/start stay for the in-scan backends).
+    aud_pos: Optional[jnp.ndarray] = None
+    txt_pos: Optional[jnp.ndarray] = None
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["sig_dist", "sig_rank", "freq_rank", "phase", "amp"],
+         data_fields=["sig_dist", "sig_rank", "freq_rank", "phase", "amp",
+                      "aud_ht", "txt_ht"],
          meta_fields=[])
 @dataclass
 class DeviceDatabase:
@@ -142,6 +150,16 @@ class DeviceDatabase:
     freq_rank: jnp.ndarray             # (512,) i32 raw frequency ranks
     phase: Optional[jnp.ndarray]       # (J, 240, 8)
     amp: Optional[jnp.ndarray]         # (J, 240, 8)
+    # (J*B, 2, 8, 16) f32: every candidate's 32-frame phase (head, tail)
+    # block pair, precomputed ONCE per database on the (sequence,
+    # block-start) grid. The fusion scan's phase access per candidate is
+    # then ONE contiguous 1 KB row gather (indexed by the tables' flat
+    # argmin position) instead of 4 dynamic slices + 4 concats — the
+    # serialized per-step op chain is what bounds the scan. Costs
+    # J*B*256*4 bytes per side (30 MB at J=1024; ~1 GB at whole-corpus
+    # J=16384) — staged only in phase modes, gated by QPG_PHASE_GRIDS.
+    aud_ht: Optional[jnp.ndarray] = None
+    txt_ht: Optional[jnp.ndarray] = None
 
 
 def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
@@ -161,7 +179,7 @@ def tables_from_minargs(cfg: MatchConfig, mins: jnp.ndarray,
     seq = (args // B).astype(jnp.int32)
     start = starts[args % B]
     rank = jax.vmap(rank_jnp)(mins).astype(jnp.int32)
-    return rank, blk, seq, start
+    return rank, blk, seq, start, args.astype(jnp.int32)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -186,6 +204,26 @@ class DeviceMatchDB:
 def _phase_starts(frames: np.ndarray) -> np.ndarray:
     from .geometry import phase_start
     return phase_start(frames).astype(np.int32)
+
+
+@jax.jit
+def _head_tail_grid(phase: jnp.ndarray, amp: jnp.ndarray,
+                    starts: jnp.ndarray) -> jnp.ndarray:
+    """All candidates' phase (head, tail) block pairs on the (J, B) grid,
+    flattened to (J*B, 2, 8, 16) so a flat argmin position indexes a row
+    pair directly. Element-for-element equal to
+    _phase_head_tail(dev, j, starts[b]): jnp.clip reproduces
+    dynamic_slice's out-of-bounds clamp."""
+    T = phase.shape[1]
+    s = jnp.clip(starts.astype(jnp.int32), 0, T - 32)        # (B,)
+    rows = s[:, None] + jnp.arange(32, dtype=jnp.int32)      # (B, 32)
+    ph = phase[:, rows]                                      # (J, B, 32, 8)
+    am = amp[:, rows]
+    head = jnp.concatenate((ph[..., :8, :], am[..., :8, :]), axis=-1)
+    tail = jnp.concatenate((ph[..., 24:, :], am[..., 24:, :]), axis=-1)
+    JB = head.shape[0] * head.shape[1]
+    return jnp.stack((head.reshape(JB, 8, 16),
+                      tail.reshape(JB, 8, 16)), axis=1)
 
 
 @jax.jit
@@ -365,8 +403,8 @@ def _tables_one_side(cfg: MatchConfig, q, feat, codes, blocks, starts,
 
 def _tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
                  test_context) -> DeviceTables:
-    aud = (None,) * 4
-    txt = (None,) * 4
+    aud = (None,) * 5
+    txt = (None,) * 5
     n_steps = 0
     if cfg.use_aud:
         W, S = test_audio.shape[:2]
@@ -384,7 +422,8 @@ def _tables_impl(cfg: MatchConfig, devdb: DeviceMatchDB, test_audio,
                                devdb.txt_blocks, devdb.txt_starts, False)
     return DeviceTables(aud_rank=aud[0], aud_block=aud[1], aud_seq=aud[2],
                         aud_start=aud[3], txt_rank=txt[0], txt_block=txt[1],
-                        txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps)
+                        txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps,
+                        aud_pos=aud[4], txt_pos=txt[4])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -442,11 +481,23 @@ def _smallest2(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.top_k(-x, 2)[1]
 
 
-# Selection tabulation (see _tabulate_selection). Env knobs are read once at
-# import so a toggle cannot silently disagree with an already-jitted program.
+# Fusion-scan optimization knobs, read once at import so a mid-process
+# toggle cannot silently disagree with an already-jitted program. Both are
+# bit-identical to the plain in-scan path (tests/test_match_parity.py
+# A/B-tests each in a subprocess):
+#   QPG_SELECTION_TABLES=1 (default) precomputes the per-(step, prev_code)
+#     top-k/argmin selection outside the scan;
+#   QPG_PHASE_GRIDS=1 (default) stages per-database head/tail pair grids so
+#     the scan's phase access is one contiguous row gather per candidate
+#     (gated at engine staging; see _head_tail_grid). Grids above
+#     QPG_PHASE_GRIDS_MAX_MB total (default 256 — covers J<=8192 with the
+#     BEAT block layout) silently fall back to in-scan slicing so a
+#     whole-corpus database doesn't trade its HBM headroom for scan speed.
 _SEL_TABLES = os.environ.get("QPG_SELECTION_TABLES", "1") != "0"
 _SEL_MIN_STEPS = int(os.environ.get("QPG_SELECTION_TABLES_MIN", "2"))
 _SEL_CHUNK_ROWS = int(os.environ.get("QPG_SELECTION_CHUNK", "128"))
+_PHASE_GRIDS = os.environ.get("QPG_PHASE_GRIDS", "1") != "0"
+_PHASE_GRIDS_MAX_MB = float(os.environ.get("QPG_PHASE_GRIDS_MAX_MB", "256"))
 
 
 def _tabulate_selection(cfg: MatchConfig, dev: DeviceDatabase,
@@ -568,17 +619,35 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         reset_phase = jnp.zeros((Q, 8, 16), jnp.float32)
 
     use_phase, use_aud, use_txt = cfg.use_phase, cfg.use_aud, cfg.use_txt
+    if init_phase is None:
+        init_phase = jnp.zeros((8, 16), dtype=jnp.float32)
     if sel is None and _SEL_TABLES and Q >= _SEL_MIN_STEPS:
         sel = _tabulate_selection(cfg, dev, tables, _SCALE)
     use_sel = sel is not None
     sel_a, sel_b = sel if use_sel else (None, None)
+    # Pair-grid phase access (see DeviceDatabase.aud_ht): when the staged
+    # grids and the tables' flat positions are both present, each step's
+    # head/tail pair is ONE row gather instead of 4 dynamic slices +
+    # concats. Trace-time flags; the values gathered are identical.
+    grid_a = dev.aud_ht if (use_phase and use_aud and
+                            tables.aud_pos is not None) else None
+    grid_t = dev.txt_ht if (use_phase and use_txt and
+                            tables.txt_pos is not None) else None
 
     def step(carry, xs):
         prev_code, prev_phase = carry
         (a_rank, a_blk, a_seq, a_start, t_rank, t_blk, t_seq, t_start,
-         is_last, rbit, do_reset, r_code, r_phase, s_a, s_b) = xs
+         is_last, rbit, do_reset, r_code, r_phase, s_a, s_b,
+         a_pos, t_pos) = xs
         prev_code = jnp.where(do_reset, r_code, prev_code)
         prev_phase = jnp.where(do_reset, r_phase, prev_phase)
+
+        def ht_at(grid, pos_row, seqs, starts, c):
+            """(head, tail) of candidate c — grid row pair when staged."""
+            if grid is not None:
+                pair = grid[pos_row[c]]
+                return pair[0], pair[1]
+            return _phase_head_tail(dev, seqs[c], starts[c])
 
         # integer-scaled exact scoring (see oracle.search_window): every
         # term of pos + freq_weight*freq + rank is a multiple of
@@ -614,12 +683,12 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
             s_blk = a_blk if use_aud else t_blk
             s_seq = a_seq if use_aud else t_seq
             s_start = a_start if use_aud else t_start
+            s_grid = grid_a if use_aud else grid_t
+            s_pos = a_pos if use_aud else t_pos
             order = s_a[prev_code] if use_sel else \
                 _smallest2(base + s_rank)
-            h0, tl0 = _phase_head_tail(dev, s_seq[order[0]],
-                                       s_start[order[0]])
-            h1, tl1 = _phase_head_tail(dev, s_seq[order[1]],
-                                       s_start[order[1]])
+            h0, tl0 = ht_at(s_grid, s_pos, s_seq, s_start, order[0])
+            h1, tl1 = ht_at(s_grid, s_pos, s_seq, s_start, order[1])
             d0 = _phase_continuity(prev_phase, h0)
             d1 = _phase_continuity(prev_phase, h1)
             pick0 = d0 <= d1
@@ -629,8 +698,8 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         elif use_phase and use_aud and use_txt:
             ca = s_a[prev_code] if use_sel else jnp.argmin(base + a_rank)
             ct = s_b[prev_code] if use_sel else jnp.argmin(base + t_rank)
-            ha, tla = _phase_head_tail(dev, a_seq[ca], a_start[ca])
-            ht, tlt = _phase_head_tail(dev, t_seq[ct], t_start[ct])
+            ha, tla = ht_at(grid_a, a_pos, a_seq, a_start, ca)
+            ht, tlt = ht_at(grid_t, t_pos, t_seq, t_start, ct)
             da = _phase_continuity(prev_phase, ha)
             dt = _phase_continuity(prev_phase, ht)
             pick_aud = da <= dt
@@ -671,9 +740,9 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
         reset_phase,
         sel_a if use_sel else zeros_i,
         sel_b if (use_sel and sel_b is not None) else zeros_i,
+        tables.aud_pos if grid_a is not None else zeros_i,
+        tables.txt_pos if grid_t is not None else zeros_i,
     )
-    if init_phase is None:
-        init_phase = jnp.zeros((8, 16), dtype=jnp.float32)
     (_, _), (blocks, phases, votes) = jax.lax.scan(
         step, (init_code.astype(jnp.int32), init_phase), xs)
     return blocks, phases, votes
@@ -704,7 +773,8 @@ def _fuse_scan_clips(cfg: MatchConfig, n_steps: int, clips: int,
         aud_seq=resh(tables.aud_seq), aud_start=resh(tables.aud_start),
         txt_rank=resh(tables.txt_rank), txt_block=resh(tables.txt_block),
         txt_seq=resh(tables.txt_seq), txt_start=resh(tables.txt_start),
-        n_steps=n_steps)
+        n_steps=n_steps, aud_pos=resh(tables.aud_pos),
+        txt_pos=resh(tables.txt_pos))
 
     # Tabulate selection on the FLAT tables (one chunk-bounded pass over all
     # C*W*S steps) so the per-lane vmap never re-materializes score tensors.
@@ -767,12 +837,32 @@ class CodeKNNEngine:
         freq_rank = db.freq_rank if db.freq_rank is not None else \
             rank_np(db.freq_dist).astype(np.float32)
         sig_dist = jnp.asarray(db.sig_dist)
+        phase = jnp.asarray(db.phase) if db.phase is not None else None
+        amp = jnp.asarray(db.amp) if db.amp is not None else None
+        grids = {}
+        if cfg.use_phase and phase is not None and _PHASE_GRIDS:
+            # one-time head/tail pair grids for the fusion scan (see
+            # DeviceDatabase docstring), size-capped: each side costs
+            # J*B*1 KB of HBM, so whole-corpus databases fall back to
+            # in-scan slicing rather than spend their headroom here
+            J = phase.shape[0]
+            sides = int(cfg.use_aud) + int(cfg.use_txt)
+            B = (db.aud_blocks if cfg.use_aud else db.txt_blocks).shape[1]
+            grid_mb = sides * J * B * 256 * 4 / 2**20
+            if grid_mb <= _PHASE_GRIDS_MAX_MB:
+                if cfg.use_aud:
+                    grids["aud_ht"] = _head_tail_grid(
+                        phase, amp,
+                        jnp.asarray(_phase_starts(db.aud_frames)))
+                if cfg.use_txt:
+                    grids["txt_ht"] = _head_tail_grid(
+                        phase, amp,
+                        jnp.asarray(_phase_starts(db.txt_frames)))
         self.dev = DeviceDatabase(
             sig_dist=sig_dist,
             sig_rank=jax.jit(jax.vmap(rank_jnp))(sig_dist),
             freq_rank=jnp.asarray(freq_rank).astype(jnp.int32),
-            phase=jnp.asarray(db.phase) if db.phase is not None else None,
-            amp=jnp.asarray(db.amp) if db.amp is not None else None)
+            phase=phase, amp=amp, **grids)
 
     @property
     def devdb(self) -> DeviceMatchDB:

@@ -130,7 +130,7 @@ def build_sharded_tables(cfg: MatchConfig, db: MatchDatabase, mesh: Mesh,
                          test_context: Optional[np.ndarray]) -> DeviceTables:
     """Sharded-database version of engine.build_device_tables — identical
     outputs, J-sharded distance work."""
-    aud = txt = (None,) * 4
+    aud = txt = (None,) * 5
     n_steps = 0
     if cfg.use_aud:
         W, S = test_audio.shape[:2]
@@ -158,7 +158,8 @@ def build_sharded_tables(cfg: MatchConfig, db: MatchDatabase, mesh: Mesh,
                                   jnp.asarray(_phase_starts(db.txt_frames)))
     return DeviceTables(aud_rank=aud[0], aud_block=aud[1], aud_seq=aud[2],
                         aud_start=aud[3], txt_rank=txt[0], txt_block=txt[1],
-                        txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps)
+                        txt_seq=txt[2], txt_start=txt[3], n_steps=n_steps,
+                        aud_pos=aud[4], txt_pos=txt[4])
 
 
 def sharded_min_reduce_demo(mesh: Mesh) -> None:

@@ -706,13 +706,19 @@ def test_feat_dtype_wavvq_mode_unaffected():
     np.testing.assert_array_equal(want.codes, got.codes)
 
 
+@pytest.mark.parametrize("backend,knob,flag", [
+    ("legacy-selection", "QPG_SELECTION_TABLES", "_SEL_TABLES"),
+    ("no-phase-grids", "QPG_PHASE_GRIDS", "_PHASE_GRIDS"),
+])
 @pytest.mark.parametrize("preset", ["wavvq", "shipped", "no_phase"])
-def test_selection_tables_ab_parity(preset, tmp_path):
-    """The tabulated selection path (QPG_SELECTION_TABLES=1, the default:
-    candidate top-k precomputed per (step, prev_code) outside the scan) must
-    be bit-identical to the legacy in-scan selection. The knob is read at
-    import (a mid-process flip could silently reuse a jitted program), so
-    the legacy path runs in a subprocess on the same deterministic fixture."""
+def test_fuse_backend_ab_parity(preset, backend, knob, flag, tmp_path):
+    """The fusion-scan optimizations must be bit-identical to the plain
+    in-scan path: selection tables (QPG_SELECTION_TABLES=0 disables) and
+    the staged phase head/tail pair grids (QPG_PHASE_GRIDS=0 falls back to
+    per-step dynamic slices). The knobs are read at import (a mid-process
+    flip could silently reuse a jitted program), so each disabled variant
+    runs in a subprocess on the same deterministic fixture and is compared
+    against the in-process default."""
     import os
     import subprocess
     import sys
@@ -727,13 +733,13 @@ def test_selection_tables_ab_parity(preset, tmp_path):
     want = CodeKNNEngine(cfg, db).predict(
         ta, tc, rng=np.random.RandomState(cfg.seed))
 
-    out = str(tmp_path / "legacy.npz")
+    out = str(tmp_path / "other.npz")
     script = f"""
 import numpy as np
 import zlib
 from qpgesture_tpu.core.config import MATCH_PRESETS, MatchConfig
 from qpgesture_tpu.match import engine as E
-assert not E._SEL_TABLES
+assert not E.{flag}
 import sys; sys.path.insert(0, {os.path.dirname(__file__)!r})
 from fixtures import make_fixture
 from test_match_parity import _stage
@@ -746,7 +752,7 @@ res = E.CodeKNNEngine(cfg, db).predict(
     ta, tc, rng=np.random.RandomState(cfg.seed))
 np.savez({out!r}, codes=res.codes)
 """
-    env = {**os.environ, "QPG_SELECTION_TABLES": "0",
+    env = {**os.environ, knob: "0",
            "JAX_PLATFORMS": "cpu",
            "PYTHONPATH": os.pathsep.join(
                [os.path.dirname(os.path.dirname(__file__)),
