@@ -762,3 +762,27 @@ np.savez({out!r}, codes=res.codes)
                    timeout=300)
     got = np.load(out)["codes"]
     np.testing.assert_array_equal(want.codes, got)
+
+
+def test_phase_grid_size_cap(monkeypatch):
+    """Above QPG_PHASE_GRIDS_MAX_MB the engine must not stage the head/tail
+    pair grids (a whole-corpus database would trade its HBM headroom for
+    scan speed) and the scan must fall back to in-scan slicing with
+    identical codes."""
+    from qpgesture_tpu.match import engine as E
+
+    rng = np.random.RandomState(77)
+    fx = make_fixture(rng, n_seq=4, n_test=2, codebook=64)
+    cfg = MatchConfig(**{**MATCH_PRESETS["shipped"].__dict__,
+                         "codebook_size": 64})
+    db, ta, tc = _stage(cfg, fx)
+    eng = E.CodeKNNEngine(cfg, db)
+    assert eng.dev.aud_ht is not None        # default: staged
+    want = eng.predict(ta, tc, rng=np.random.RandomState(cfg.seed))
+
+    monkeypatch.setattr(E, "_PHASE_GRIDS_MAX_MB", 0.0)
+    eng_capped = E.CodeKNNEngine(cfg, db)
+    assert eng_capped.dev.aud_ht is None     # capped: fallback
+    assert eng_capped.dev.txt_ht is None
+    got = eng_capped.predict(ta, tc, rng=np.random.RandomState(cfg.seed))
+    np.testing.assert_array_equal(want.codes, got.codes)
