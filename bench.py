@@ -39,6 +39,7 @@ tests/test_reference_cross.py.
 """
 import json
 import os
+import re
 import sys
 import time
 
@@ -562,8 +563,15 @@ def _find_check_snapshot(directory: str = None):
     if env:
         return env
     here = directory or os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p):
+        # numeric round ordering — lexicographic sort would pin r99 above
+        # r100 forever once rounds cross a digit width
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+                       key=round_no, reverse=True):
         try:
             load_snapshot(path)
             return path
@@ -670,7 +678,12 @@ def main():
         # WavLM compile can use slack but never overshoot
         if not begin(name, reserve_s=120):
             return
-        probe_timeout = max(60.0, min(900.0, _remaining() - 30.0))
+        # per-probe ceiling scales with the budget so a raised
+        # QPG_BENCH_BUDGET_S can buy a cold WavLM-class compile (~25 min
+        # observed), while the driver's default budget still bounds one
+        # stalled probe to a third of it
+        probe_timeout = max(60.0, min(max(900.0, BUDGET_S / 3.0),
+                                      _remaining() - 30.0))
         rawwav = out.setdefault("rawwav", {})
         try:
             proc = subprocess.run(
@@ -735,6 +748,11 @@ def main():
             bad = None
             print(f"regression check skipped: {check}: {e}",
                   file=sys.stderr)
+            if explicit:
+                # an enforced gate must fail loudly on a missing or
+                # unparseable snapshot, not silently pass
+                _emit(out)
+                sys.exit(2)
         if bad is not None:
             out["checked_against"] = os.path.basename(check)
             out["regressions"] = bad

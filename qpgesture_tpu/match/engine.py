@@ -324,7 +324,6 @@ def device_hbm_bytes(device=None) -> Optional[int]:
     injection seam that lets the auto-spill branch run (and be TESTED)
     on backends with no capacity report, and lets operators pin the
     budget below a shared chip's nominal HBM."""
-    import os
     env = os.environ.get("QPG_HBM_BYTES")
     if env:
         return int(env)
@@ -500,6 +499,20 @@ _PHASE_GRIDS = os.environ.get("QPG_PHASE_GRIDS", "1") != "0"
 _PHASE_GRIDS_MAX_MB = float(os.environ.get("QPG_PHASE_GRIDS_MAX_MB", "256"))
 
 
+def _int_scale(cfg: MatchConfig) -> jnp.ndarray:
+    """K = 1/freq_weight as the exact-integer score scale (see _fuse_scan's
+    integer-scaled scoring): every term of pos + freq_weight*freq + rank is
+    a multiple of freq_weight, so K*pos + freq + K*rank scores in int32.
+    freq_weight=0 means the frequency term contributes nothing (same as
+    use_freq=False) — the weight is only constrained to 1/K when used."""
+    if cfg.use_freq and cfg.freq_weight != 0.0:
+        inv_w = 1.0 / cfg.freq_weight
+        assert abs(inv_w - round(inv_w)) < 1e-9, (
+            "freq_weight must be 1/K for exact integer scoring")
+        return jnp.int32(round(inv_w))
+    return jnp.int32(1)
+
+
 def _tabulate_selection(cfg: MatchConfig, dev: DeviceDatabase,
                         tables: DeviceTables, scale: jnp.ndarray):
     """Precompute the scan's candidate selection for every (step, prev_code).
@@ -590,17 +603,8 @@ def _fuse_scan(cfg: MatchConfig, n_steps: int, dev: DeviceDatabase,
     tables so the per-lane vmap never re-materializes the score tensor).
     """
     Q = (tables.aud_rank if cfg.use_aud else tables.txt_rank).shape[0]
-    # freq_weight=0 means the frequency term contributes nothing (same as
-    # use_freq=False), and with the frequency prior disabled the weight is
-    # irrelevant — only constrain it to 1/K when it is actually used.
     use_freq = cfg.use_freq and cfg.freq_weight != 0.0
-    if use_freq:
-        inv_w = 1.0 / cfg.freq_weight
-        assert abs(inv_w - round(inv_w)) < 1e-9, (
-            "freq_weight must be 1/K for exact integer scoring")
-        _SCALE = jnp.int32(round(inv_w))
-    else:
-        _SCALE = jnp.int32(1)
+    _SCALE = _int_scale(cfg)
     # Cross-window seed geometry: the kept code result[num_frames_code]
     # (appended index num_frames_code-1) must land in the final step's
     # block, else the scan's seed chain cannot reproduce the oracle — fail
@@ -779,10 +783,8 @@ def _fuse_scan_clips(cfg: MatchConfig, n_steps: int, clips: int,
     # Tabulate selection on the FLAT tables (one chunk-bounded pass over all
     # C*W*S steps) so the per-lane vmap never re-materializes score tensors.
     if _SEL_TABLES and Q // clips >= _SEL_MIN_STEPS:
-        use_freq = cfg.use_freq and cfg.freq_weight != 0.0
-        scale = jnp.int32(round(1.0 / cfg.freq_weight)) if use_freq \
-            else jnp.int32(1)
-        sel_a, sel_b = _tabulate_selection(cfg, dev, tables, scale)
+        sel_a, sel_b = _tabulate_selection(cfg, dev, tables,
+                                           _int_scale(cfg))
         sel = (resh(sel_a), resh(sel_b))
     else:
         sel = (None, None)
@@ -846,9 +848,10 @@ class CodeKNNEngine:
             # J*B*1 KB of HBM, so whole-corpus databases fall back to
             # in-scan slicing rather than spend their headroom here
             J = phase.shape[0]
-            sides = int(cfg.use_aud) + int(cfg.use_txt)
-            B = (db.aud_blocks if cfg.use_aud else db.txt_blocks).shape[1]
-            grid_mb = sides * J * B * 256 * 4 / 2**20
+            grid_mb = sum(
+                J * blocks.shape[1] * 256 * 4 / 2**20
+                for use, blocks in ((cfg.use_aud, db.aud_blocks),
+                                    (cfg.use_txt, db.txt_blocks)) if use)
             if grid_mb <= _PHASE_GRIDS_MAX_MB:
                 if cfg.use_aud:
                     grids["aud_ht"] = _head_tail_grid(

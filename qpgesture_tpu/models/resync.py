@@ -7,6 +7,7 @@ resolution), used to "resync" KNN output motion to the audio.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -140,14 +141,18 @@ def predict_resynced_gesture(gen: ResyncNet, variables, mfcc: np.ndarray,
     mstd = np.asarray(motion_std, np.float32)
     motion_n = (knn_motion - mmean) / (mstd + eps)
     x = jnp.asarray(np.concatenate([mfcc_n, motion_n], axis=-1))
+    return np.asarray(_resync_fwd(gen, variables, x, jnp.asarray(mstd),
+                                  jnp.asarray(mmean)))
 
-    @jax.jit
-    def fwd(variables, x):
-        out = gen.apply(variables, x, train=False)
-        # inv_normalize_data (utils.py:12-13): no eps on the way back
-        return out * mstd + mmean
 
-    return np.asarray(fwd(variables, x))
+@partial(jax.jit, static_argnames="gen")
+def _resync_fwd(gen: ResyncNet, variables, x, mstd, mmean):
+    """Module-level jit (stats as arguments, not closure constants) so
+    repeated calls — resync-apply over many files, generate --resync per
+    clip — hit one compiled program instead of re-tracing per call."""
+    out = gen.apply(variables, x, train=False)
+    # inv_normalize_data (utils.py:12-13): no eps on the way back
+    return out * mstd + mmean
 
 
 def gradient_penalty(disc_apply, variables, real: jnp.ndarray,
