@@ -64,6 +64,18 @@ class WavLMJaxConfig:
     # N unrolled copies — large models compile ~20x faster); unrolled mode
     # additionally supports output_layer extraction
     scan_layers: bool = True
+    # attention implementation:
+    #   "xla"   — plain einsum attention (materialises (B, H, T, T) logits,
+    #             bias and weights per layer; the checkpoint-parity path);
+    #   "flash" — ops/flash_attention.gated_flash_attention: online-softmax
+    #             Pallas kernel with the per-layer bias gate fused in, so
+    #             the only (T, T) HBM traffic is one bias read per layer.
+    #             Casts q/k/v/bias/gate to bf16 when precision == "default"
+    #             (the preset's 1-pass-bf16 contract), f32 otherwise;
+    #   "auto"  — "flash" on the TPU backend when precision == "default"
+    #             (the raw-wav serving fast path), else "xla". Resolved at
+    #             trace time from jax.default_backend().
+    attn_impl: str = "auto"
 
     @classmethod
     def base(cls) -> "WavLMJaxConfig":
@@ -152,33 +164,53 @@ class WavLMAttention(nn.Module):
         k = nn.Dense(D, name="k_proj", precision=prec)(x).reshape(B, T, H, hd)
         v = nn.Dense(D, name="v_proj", precision=prec)(x).reshape(B, T, H, hd)
 
-        scores = jnp.einsum("bthd,bshd->bhts", q * (hd ** -0.5), k,
-                            precision=_PRECISIONS[cfg.precision])
+        gate = None
+        if position_bias is not None and cfg.gru_rel_pos:
+            # gated relative position bias (modules.py:523-533). The
+            # gate input is the RAW hidden state split into heads
+            # (query.transpose/view in the fast path the reference
+            # actually executes), NOT the q_proj output — the two
+            # differ by the projection and produce different gates on
+            # trained checkpoints.
+            q_raw = x.reshape(B, T, H, hd)
+            g = nn.Dense(8, name="grep_linear",
+                         precision=prec)(q_raw)           # (B,T,H,8)
+            g = g.transpose(0, 2, 1, 3)                   # (B,H,T,8)
+            g = jax.nn.sigmoid(g.reshape(B, H, T, 2, 4).sum(-1))
+            gate_a, gate_b = g[..., 0:1], g[..., 1:2]     # (B,H,T,1)
+            grep_a = self.param("grep_a", nn.initializers.ones,
+                                (1, H, 1, 1))
+            gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # (B,H,T,1)
 
-        if position_bias is not None:
-            bias = position_bias[None]                       # (1, H, T, T)
-            if cfg.gru_rel_pos:
-                # gated relative position bias (modules.py:523-533). The
-                # gate input is the RAW hidden state split into heads
-                # (query.transpose/view in the fast path the reference
-                # actually executes), NOT the q_proj output — the two
-                # differ by the projection and produce different gates on
-                # trained checkpoints.
-                q_raw = x.reshape(B, T, H, hd)
-                g = nn.Dense(8, name="grep_linear",
-                             precision=prec)(q_raw)       # (B,T,H,8)
-                g = g.transpose(0, 2, 1, 3)                   # (B,H,T,8)
-                g = jax.nn.sigmoid(g.reshape(B, H, T, 2, 4).sum(-1))
-                gate_a, gate_b = g[..., 0:1], g[..., 1:2]     # (B,H,T,1)
-                grep_a = self.param("grep_a", nn.initializers.ones,
-                                    (1, H, 1, 1))
-                gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # (B,H,T,1)
-                bias = gate * position_bias[None]              # (B,H,T,T)
-            scores = scores + bias
+        impl = cfg.attn_impl
+        if impl == "auto":
+            impl = ("flash" if jax.default_backend() == "tpu"
+                    and cfg.precision == "default"
+                    and position_bias is not None else "xla")
 
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bshd->bthd", attn, v,
-                         precision=_PRECISIONS[cfg.precision])
+        if impl == "flash" and position_bias is not None:
+            # fused online-softmax kernel: no (B, H, T, T) intermediates
+            # hit HBM; the bias table streams through once per layer.
+            from ..ops.flash_attention import gated_flash_attention
+            kd = (jnp.bfloat16 if cfg.precision == "default"
+                  else jnp.float32)
+            out = gated_flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), position_bias,
+                None if gate is None else gate[..., 0],
+                sm_scale=hd ** -0.5, kernel_dtype=kd)
+            out = out.transpose(0, 2, 1, 3)               # (B,T,H,hd)
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q * (hd ** -0.5), k,
+                                precision=prec)
+            if position_bias is not None:
+                bias = position_bias[None]                # (1, H, T, T)
+                if gate is not None:
+                    bias = gate * bias                    # (B, H, T, T)
+                scores = scores + bias
+            attn = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bshd->bthd", attn, v, precision=prec)
+
         out = nn.Dense(D, name="out_proj",
                        precision=prec)(out.reshape(B, T, D))
         return out, position_bias
